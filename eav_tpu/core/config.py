@@ -1,0 +1,339 @@
+"""Dataclass config system + named presets.
+
+The reference has no config system at all: paths, epochs, bands, and split
+indices are hard-coded inline (reference `Dataload_eeg.py:167`,
+`Dataload_audio.py:11`, `Dataload_vision.py:136`; the README instructs users to
+edit source). Here every pipeline is driven by one frozen dataclass tree, and
+the five BASELINE.json workloads are named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+# Canonical EAV label map (reference `Dataload_audio.py:58-64`,
+# `Dataload_vision.py:87-93`).
+EMOTION_TO_INDEX: Dict[str, int] = {
+    "Neutral": 0,
+    "Sadness": 1,
+    "Anger": 2,
+    "Happiness": 3,
+    "Calmness": 4,
+}
+INDEX_TO_EMOTION: Dict[int, str] = {v: k for k, v in EMOTION_TO_INDEX.items()}
+NUM_CLASSES = 5
+NUM_SUBJECTS = 42
+
+# One-hot rows of the label .mat that correspond to the *listening* tasks kept
+# by the EEG pipeline (reference `Dataload_eeg.py:33`).
+EEG_SELECTED_CLASSES: Tuple[int, ...] = (1, 3, 5, 7, 9)
+
+
+@dataclass(frozen=True)
+class SplitConfig:
+    """Deterministic class-stratified in-temporal-order split.
+
+    Reference `EAV_datasplit.py:26-40`: per class, the first ``h_idx`` samples
+    (in dataset order) go to train, the rest to test. ``h_idx=56`` with 80
+    samples/class gives the published 70/30 split.
+    """
+
+    h_idx: int = 56
+    num_classes: int = NUM_CLASSES
+    samples_per_class: int = 80
+
+
+@dataclass(frozen=True)
+class EEGPreprocConfig:
+    """EEG ingest: .mat -> (400, 30, 500) trials.
+
+    Mirrors reference `Dataload_eeg.py:85-152`: polyphase downsample
+    500->100 Hz on the F-order-flattened continuous signal, order-5 Butterworth
+    SOS bandpass per channel, 20 s trials split into 4 x 5 s chunks (F-order),
+    keep listening classes only.
+    """
+
+    fs_orig: int = 500
+    fs_target: int = 100
+    band: Tuple[float, float] = (0.5, 45.0)
+    butter_order: int = 5
+    channels: int = 30
+    trial_seconds: float = 20.0
+    chunk_seconds: float = 5.0
+    selected_classes: Tuple[int, ...] = EEG_SELECTED_CLASSES
+
+    @property
+    def chunks_per_trial(self) -> int:
+        return int(round(self.trial_seconds / self.chunk_seconds))
+
+    @property
+    def samples_per_chunk(self) -> int:
+        return int(round(self.chunk_seconds * self.fs_target))
+
+
+@dataclass(frozen=True)
+class AudioPreprocConfig:
+    """Audio ingest: .wav -> 5 s / 16 kHz segments, then one of two frontends.
+
+    - ``frontend='fbank'``: AST 128-bin x 1024-frame Kaldi-style log-mel fbank
+      normalized by the AudioSet corpus stats (reference
+      `Pre_trained_models/ast-finetuned-audioset/preprocessor_config.json`).
+    - ``frontend='scnn180'``: the notebook's 180-d vector (40 MFCC + 12 chroma
+      + 128 mel means over a 5 s segment at 22.05 kHz; reference
+      `CNN_tensorflow/CNN_audio_emotion_recognition.ipynb` extract_feature).
+    """
+
+    target_sr: int = 16000
+    segment_seconds: float = 5.0
+    frontend: str = "fbank"
+    # AST fbank (Kaldi-compatible)
+    num_mel_bins: int = 128
+    max_frames: int = 1024
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    norm_mean: float = -4.2677393
+    norm_std: float = 4.5689974
+    # SCNN 180-d frontend (librosa conventions)
+    scnn_sr: int = 22050
+    n_mfcc: int = 40
+    n_chroma: int = 12
+    n_mels: int = 128
+    n_fft: int = 2048
+    hop_length: int = 512
+
+    @property
+    def segment_samples(self) -> int:
+        return int(round(self.segment_seconds * self.target_sr))
+
+
+@dataclass(frozen=True)
+class VisionPreprocConfig:
+    """Vision ingest: .mp4 -> (400, 25, H, W, 3) uint8 frame stacks.
+
+    Mirrors reference `Dataload_vision.py:42-94`: Speaking clips only, every
+    6th frame of the first 600 (100 frames / 20 s clip), grouped 25 frames =
+    5 s per sample; optional MTCNN face alignment to 56x56, else resize to
+    ``image_size``.
+    """
+
+    frame_stride: int = 6
+    max_frames: int = 600
+    frames_per_sample: int = 25
+    image_size: int = 224
+    face_detection: bool = False
+    face_image_size: int = 56
+    face_prob_threshold: float = 0.3
+    mtcnn_thresholds: Tuple[float, float, float] = (0.6, 0.7, 0.7)
+    mtcnn_factor: float = 0.709
+    mtcnn_min_face_size: int = 20
+
+
+@dataclass(frozen=True)
+class PhaseConfig:
+    """One phase of the freeze->unfreeze fine-tune protocol
+    (reference `Dataload_audio.py:113-114`)."""
+
+    epochs: int
+    lr: float
+    freeze: bool
+
+
+@dataclass(frozen=True)
+class FinetuneConfig:
+    """Trainer hyper-parameters for one model family."""
+
+    model: str
+    batch_size: int
+    phases: Tuple[PhaseConfig, ...]
+    optimizer: str = "adamw"  # 'adamw' | 'adam'
+    weight_decay: float = 1e-5
+    eval_batch_size: Optional[int] = None
+    # Per-trial aggregation for per-frame/per-segment models
+    # (reference `Transformer_Vision.py:170-188`): mean logits over this many
+    # consecutive test rows before argmax. None = per-sample scoring.
+    vote_group: Optional[int] = None
+    seed: int = 0
+    # jit the whole (epoch x batch) schedule with lax control flow.
+    donate: bool = True
+    compat_softmax: bool = False  # replicate reference double-softmax quirk
+    model_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.eval_batch_size is None:
+            object.__setattr__(self, "eval_batch_size", self.batch_size)
+
+
+@dataclass(frozen=True)
+class SweepConfig:
+    """42-subject x modality sweep."""
+
+    subjects: Tuple[int, ...] = tuple(range(1, NUM_SUBJECTS + 1))
+    modalities: Tuple[str, ...] = ("eeg", "audio", "vision")
+    data_root: str = "./Datasets/EAV"
+    cache_dir: str = "./cache"
+    journal_path: str = "./sweep_journal.jsonl"
+    metrics_path: str = "./metrics.jsonl"
+    checkpoint_dir: Optional[str] = None
+    resume: bool = True
+    max_retries: int = 1
+
+
+def _eegnet_finetune() -> FinetuneConfig:
+    # Reference `Dataload_eeg.py:250-256`: Adam lr=1e-5, bs=32, 200 epochs,
+    # no freeze protocol (trained from scratch).
+    return FinetuneConfig(
+        model="eegnet",
+        batch_size=32,
+        optimizer="adam",
+        weight_decay=0.0,
+        phases=(PhaseConfig(epochs=200, lr=1e-5, freeze=False),),
+        compat_softmax=True,
+    )
+
+
+def _scnn_finetune() -> FinetuneConfig:
+    # Reference `CNN_torch/CNN_audio.py:89` (Adam 1e-3) / notebook (100 ep, bs 64).
+    return FinetuneConfig(
+        model="scnn_audio",
+        batch_size=64,
+        optimizer="adam",
+        weight_decay=0.0,
+        phases=(PhaseConfig(epochs=100, lr=1e-3, freeze=False),),
+    )
+
+
+def _ast_finetune() -> FinetuneConfig:
+    # Reference `Dataload_audio.py:110-114`: AdamW, bs 8, 10 ep lr 5e-4 frozen
+    # -> 15 ep lr 5e-6 unfrozen; one optimizer across phases.
+    return FinetuneConfig(
+        model="ast",
+        batch_size=8,
+        optimizer="adamw",
+        weight_decay=1e-5,
+        phases=(
+            PhaseConfig(epochs=10, lr=5e-4, freeze=True),
+            PhaseConfig(epochs=15, lr=5e-6, freeze=False),
+        ),
+        vote_group=None,
+    )
+
+
+def _vit_finetune() -> FinetuneConfig:
+    # Reference `Dataload_vision.py:140-141`: bs 128, 10 ep 5e-4 frozen ->
+    # 5 ep 5e-6 unfrozen; trial vote = mean logits over 25 frames
+    # (`Transformer_Vision.py:178-180`).
+    return FinetuneConfig(
+        model="vit",
+        batch_size=128,
+        optimizer="adamw",
+        weight_decay=0.0,
+        phases=(
+            PhaseConfig(epochs=10, lr=5e-4, freeze=True),
+            PhaseConfig(epochs=5, lr=5e-6, freeze=False),
+        ),
+        vote_group=25,
+    )
+
+
+def _conformer_finetune() -> FinetuneConfig:
+    # Reference `Transformer_EEG.py:239-247`: Adam 1e-3, bs 32, 485 epochs,
+    # post-step fc renorm maxnorm=0.5.
+    return FinetuneConfig(
+        model="conformer_eeg",
+        batch_size=32,
+        optimizer="adam",
+        weight_decay=0.0,
+        phases=(PhaseConfig(epochs=485, lr=1e-3, freeze=False),),
+        compat_softmax=True,
+    )
+
+
+def _fusion_finetune() -> FinetuneConfig:
+    # New capability (the reference only hints at it via the dead
+    # `Fusion.VIT_audio` import, `CNN_torch/EEGNet_tor.py:4`).
+    return FinetuneConfig(
+        model="fusion",
+        batch_size=32,
+        optimizer="adamw",
+        weight_decay=1e-4,
+        phases=(PhaseConfig(epochs=100, lr=1e-3, freeze=False),),
+    )
+
+
+@dataclass(frozen=True)
+class PresetConfig:
+    name: str
+    description: str
+    split: SplitConfig
+    finetune: FinetuneConfig
+    eeg: Optional[EEGPreprocConfig] = None
+    audio: Optional[AudioPreprocConfig] = None
+    vision: Optional[VisionPreprocConfig] = None
+    sweep: Optional[SweepConfig] = None
+
+    def replace(self, **kw) -> "PresetConfig":
+        return dataclasses.replace(self, **kw)
+
+
+PRESETS: Dict[str, PresetConfig] = {
+    # BASELINE.json config 1
+    "eegnet_subject": PresetConfig(
+        name="eegnet_subject",
+        description="EEGNet on one subject's EEG (.mat, 200 trials x 30ch x 10k), CPU-runnable",
+        split=SplitConfig(),
+        eeg=EEGPreprocConfig(),
+        finetune=_eegnet_finetune(),
+    ),
+    # BASELINE.json config 2
+    "scnn_audio": PresetConfig(
+        name="scnn_audio",
+        description="Audio SCNN: wav -> 180-d librosa-style features -> Conv1D",
+        split=SplitConfig(),
+        audio=AudioPreprocConfig(frontend="scnn180"),
+        finetune=_scnn_finetune(),
+    ),
+    # BASELINE.json config 3
+    "ast_finetune": PresetConfig(
+        name="ast_finetune",
+        description="AST-audioset fine-tune per subject (freeze 10ep -> unfreeze 15ep, bs=8)",
+        split=SplitConfig(),
+        audio=AudioPreprocConfig(frontend="fbank"),
+        finetune=_ast_finetune(),
+    ),
+    # BASELINE.json config 4
+    "vit_finetune": PresetConfig(
+        name="vit_finetune",
+        description="Vision ViT fine-tune on face frames, per-trial mean-logit vote",
+        split=SplitConfig(),
+        vision=VisionPreprocConfig(face_detection=True),
+        finetune=_vit_finetune(),
+    ),
+    # BASELINE.json config 5
+    "fusion_sweep": PresetConfig(
+        name="fusion_sweep",
+        description="Tri-modal EEG+AST+ViT fusion, full 42-subject sweep",
+        split=SplitConfig(),
+        eeg=EEGPreprocConfig(),
+        audio=AudioPreprocConfig(),
+        vision=VisionPreprocConfig(face_detection=True),
+        finetune=_fusion_finetune(),
+        sweep=SweepConfig(),
+    ),
+    # Extra parity presets (model families the reference also ships)
+    "conformer_eeg": PresetConfig(
+        name="conformer_eeg",
+        description="ShallowConvNet+Transformer EEG hybrid (Transformer_EEG.py)",
+        split=SplitConfig(),
+        eeg=EEGPreprocConfig(),
+        finetune=_conformer_finetune(),
+    ),
+}
+
+
+def get_preset(name: str) -> PresetConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

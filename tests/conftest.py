@@ -1,0 +1,23 @@
+"""Test harness: force an 8-virtual-device CPU platform.
+
+Multi-chip TPU hardware is not available in CI; all mesh/sharding tests run on
+`xla_force_host_platform_device_count=8` CPU devices, per the framework's
+distributed test strategy (SURVEY.md §4). Must run before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
