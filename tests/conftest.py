@@ -7,12 +7,19 @@ distributed test strategy (SURVEY.md §4). Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (registered from sitecustomize at interpreter startup)
+# force-updates jax_platforms to "axon,cpu", overriding the env var — undo it.
+if "axon" in (jax.config.jax_platforms or ""):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
