@@ -1,0 +1,105 @@
+"""EEGNet in Flax — the EAV EEG baseline model family.
+
+Two variants, both behavioral ports of the reference:
+
+- ``separable_mode='single'`` reproduces `CNN_torch/EEGNet_tor.py:15-67`
+  (the variant used in the published sweeps), whose "separable" conv is in
+  fact one full (1, 16) convolution.
+- ``separable_mode='true'`` reproduces the clean rewrite
+  `CNN_torch/CNN_EEG.py:7-67` (depthwise (1, 16) + pointwise (1, 1)).
+
+EAV hyper-parameters: F1=8, D=8, F2=64, kernLength=300, Chans=30, Samples=500
+(`EEGNet_tor.py:159-160`). Max-norm constraints (torch ``renorm_`` forward
+hooks, `EEGNet_tor.py:33-34,47-48`) are applied functionally after each
+optimizer step via :func:`eav_tpu.core.optim.maxnorm_project` with
+:data:`EEGNet.maxnorm_rules`.
+
+Layout is NHWC (batch, channels-as-height, time-as-width, features) — the
+TPU-native layout; all convs are 1-D in time or across electrodes and XLA
+maps them onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class EEGNet(nn.Module):
+    nb_classes: int = 5
+    chans: int = 30
+    samples: int = 500
+    dropout_rate: float = 0.5
+    kern_length: int = 300
+    f1: int = 8
+    d: int = 8
+    f2: int = 64
+    norm_rate: float = 1.0
+    separable_mode: str = "single"  # 'single' (EEGNet_tor) | 'true' (CNN_EEG)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # (B, chans, samples) -> NHWC (B, chans, samples, 1)
+        if x.ndim == 3:
+            x = x[..., None]
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        )
+        # Block 1: temporal conv (1, kernLength), same padding, no bias
+        x = nn.Conv(
+            self.f1,
+            (1, self.kern_length),
+            padding="SAME",
+            use_bias=False,
+            name="conv_temporal",
+        )(x)
+        x = bn("bn_temporal")(x)
+        x = nn.elu(x)
+        # Depthwise conv across electrodes: (chans, 1), F1 -> F1*D
+        x = nn.Conv(
+            self.f1 * self.d,
+            (self.chans, 1),
+            padding="VALID",
+            feature_group_count=self.f1,
+            use_bias=False,
+            name="conv_depthwise",
+        )(x)
+        x = bn("bn_depthwise")(x)
+        x = nn.elu(x)
+        x = nn.avg_pool(x, (1, 4), strides=(1, 4))
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        # Block 2: "separable" conv (1, 16)
+        if self.separable_mode == "true":
+            x = nn.Conv(
+                self.f1 * self.d,
+                (1, 16),
+                padding="SAME",
+                feature_group_count=self.f1 * self.d,
+                use_bias=False,
+                name="conv_sep_depthwise",
+            )(x)
+            x = nn.Conv(
+                self.f2, (1, 1), padding="SAME", use_bias=False, name="conv_sep_pointwise"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.f2, (1, 16), padding="SAME", use_bias=False, name="conv_separable"
+            )(x)
+        x = bn("bn_separable")(x)
+        x = nn.elu(x)
+        x = nn.avg_pool(x, (1, 8), strides=(1, 8))
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        x = x.reshape((x.shape[0], -1))
+        # 64 * (500 // 4 // 8) = 960 features (`EEGNet_tor.py:43`)
+        return nn.Dense(self.nb_classes, name="head")(x)
+
+    @property
+    def maxnorm_rules(self) -> Tuple[Tuple[str, float, Tuple[int, ...]], ...]:
+        """torch renorm dim=0 == per-output-channel norm: flax conv kernels
+        are (kh, kw, in, out) -> axes (0,1,2); dense (in, out) -> axes (0,)."""
+        return (
+            (r"conv_depthwise/kernel", self.norm_rate, (0, 1, 2)),
+            (r"head/kernel", self.norm_rate, (0,)),
+        )

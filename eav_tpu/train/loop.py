@@ -1,0 +1,214 @@
+"""Jit-compiled training loops with the reference's fine-tune protocol.
+
+Where the reference runs a Python loop of per-batch ``.to(device)`` hops
+(`Transformer_Audio.py:67-97`, `EEGNet_tor.py:96-116`), here the entire
+phase — every epoch, every shuffled batch, the per-epoch full test-set
+evaluation the reference also does — is ONE compiled XLA program:
+``lax.scan`` over epochs around ``lax.scan`` over steps, with the whole
+per-subject split resident on device (<=150 MB, SURVEY.md §3). Per-subject
+fine-tunes therefore run with zero host round-trips.
+
+Protocol parity:
+- shuffled batches with a final partial batch (torch DataLoader
+  ``drop_last=False``) — emulated by padding the permutation and weighting
+  the loss by valid-sample masks, so batch-mean loss matches torch exactly;
+- freeze -> unfreeze with ONE optimizer whose lr is swapped between phases
+  (`Transformer_Audio.py:45-48`), per-leaf step counts (core/optim.py);
+- max-norm projections applied after each update (`EEGNet_tor.py:33-34`);
+- per-epoch test accuracy history, final-phase test logits kept as
+  ``outputs_test`` (`Transformer_Audio.py:98-99`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+from eav_tpu.core.optim import (
+    AdamState,
+    adam_update,
+    init_adam_state,
+    maxnorm_project,
+    trainable_mask,
+)
+
+
+class TrainResult(NamedTuple):
+    params: Any
+    batch_stats: Any
+    history: Dict[str, np.ndarray]  # per-epoch train/test accuracy, loss
+    outputs_test: np.ndarray  # (n_test, num_classes) final-phase logits
+
+
+def cross_entropy(logits, labels, weights, compat_softmax: bool = False):
+    """Weighted-mean CE. ``compat_softmax=True`` replicates the reference's
+    double-softmax quirk (Softmax layer feeding CrossEntropyLoss,
+    `EEGNet_tor.py:44,66` + `:81`): CE is computed on log_softmax(softmax(z)).
+    """
+    if compat_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    denom = jnp.maximum(weights.sum(), 1.0)
+    return (ce * weights).sum() / denom
+
+
+class JitTrainer:
+    """Two-phase fine-tune runner for any Flax model following the
+    (B, ...) -> (B, num_classes) logits contract."""
+
+    def __init__(
+        self,
+        model,
+        cfg: FinetuneConfig,
+        maxnorm_rules: Sequence[Tuple[str, float, Tuple[int, ...]]] = (),
+        head_regex: str = r"(^|/)(head|classifier)(/|$)",
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.maxnorm_rules = tuple(maxnorm_rules)
+        self.head_regex = head_regex
+
+    # -- model plumbing --------------------------------------------------
+
+    def _apply_train(self, params, bstats, x, rng):
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": bstats},
+            x,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        return out, mut.get("batch_stats", bstats)
+
+    def _apply_eval(self, params, bstats, x):
+        return self.model.apply(
+            {"params": params, "batch_stats": bstats}, x, train=False
+        )
+
+    # -- phase program ----------------------------------------------------
+
+    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int):
+        cfg = self.cfg
+        bs = min(cfg.batch_size, n_train)
+        steps = -(-n_train // bs)
+        pad = steps * bs - n_train
+        eval_bs = min(cfg.eval_batch_size or bs, n_test)
+        eval_steps = -(-n_test // eval_bs)
+        eval_pad = eval_steps * eval_bs - n_test
+
+        def eval_logits(params, bstats, te_x):
+            idx = jnp.arange(eval_steps * eval_bs)
+            idx = jnp.minimum(idx, n_test - 1).reshape(eval_steps, eval_bs)
+
+            def body(_, ix):
+                return None, self._apply_eval(params, bstats, te_x[ix])
+
+            _, logits = jax.lax.scan(body, None, idx)
+            return logits.reshape(eval_steps * eval_bs, -1)[:n_test]
+
+        def phase(params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr):
+            def train_step(carry, idx):
+                params, bstats, opt_state, rng = carry
+                rng, kd = jax.random.split(rng)
+                w = (idx < n_train).astype(jnp.float32)
+                ix = jnp.minimum(idx, n_train - 1)
+                bx, by = tr_x[ix], tr_y[ix]
+
+                def loss_fn(p):
+                    logits, new_bstats = self._apply_train(p, bstats, bx, kd)
+                    loss = cross_entropy(logits, by, w, cfg.compat_softmax)
+                    return loss, (new_bstats, logits)
+
+                (loss, (bstats_new, logits)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                params, opt_state = adam_update(
+                    grads,
+                    opt_state,
+                    params,
+                    lr=lr,
+                    trainable_mask=mask,
+                    weight_decay=cfg.weight_decay if cfg.optimizer == "adamw" else 0.0,
+                )
+                if self.maxnorm_rules:
+                    params = maxnorm_project(params, self.maxnorm_rules)
+                correct = ((jnp.argmax(logits, -1) == by) * w).sum()
+                return (params, bstats_new, opt_state, rng), (loss, correct)
+
+            def epoch_body(carry, _):
+                params, bstats, opt_state, rng = carry
+                rng, kp = jax.random.split(rng)
+                perm = jax.random.permutation(kp, n_train)
+                perm = jnp.concatenate(
+                    [perm, jnp.full((pad,), n_train, perm.dtype)]
+                ).reshape(steps, bs)
+                carry2, (losses, corrects) = jax.lax.scan(
+                    train_step, (params, bstats, opt_state, rng), perm
+                )
+                params, bstats, opt_state, rng = carry2
+                train_acc = corrects.sum() / n_train
+                te_pred = jnp.argmax(eval_logits(params, bstats, te_x), -1)
+                test_acc = (te_pred == te_y).mean()
+                return carry2, (losses.mean(), train_acc, test_acc)
+
+            carry, (loss_h, tr_h, te_h) = jax.lax.scan(
+                epoch_body, (params, bstats, opt_state, rng), None, length=epochs
+            )
+            params, bstats, opt_state, rng = carry
+            logits = eval_logits(params, bstats, te_x)
+            return params, bstats, opt_state, rng, (loss_h, tr_h, te_h), logits
+
+        return jax.jit(phase, donate_argnums=(0, 2))
+
+    # -- public API --------------------------------------------------------
+
+    def fit(self, data, seed: Optional[int] = None, verbose: bool = False) -> TrainResult:
+        tr_x, tr_y, te_x, te_y = data
+        tr_x = jnp.asarray(tr_x, jnp.float32)
+        te_x = jnp.asarray(te_x, jnp.float32)
+        tr_y = jnp.asarray(np.asarray(tr_y).reshape(-1), jnp.int32)
+        te_y = jnp.asarray(np.asarray(te_y).reshape(-1), jnp.int32)
+
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        rng, k_init = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": k_init, "dropout": k_init}, tr_x[:1], train=False
+        )
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+        if self.maxnorm_rules:  # constraints also hold at init (torch hook)
+            params = maxnorm_project(params, self.maxnorm_rules)
+        opt_state = init_adam_state(params)
+
+        hist_loss, hist_tr, hist_te = [], [], []
+        outputs_test = None
+        for phase_cfg in self.cfg.phases:
+            mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
+            phase_fn = self._build_phase(
+                mask, phase_cfg.epochs, int(tr_x.shape[0]), int(te_x.shape[0])
+            )
+            params, bstats, opt_state, rng, (lh, trh, teh), logits = phase_fn(
+                params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y,
+                jnp.asarray(phase_cfg.lr, jnp.float32),
+            )
+            hist_loss.append(np.asarray(lh))
+            hist_tr.append(np.asarray(trh))
+            hist_te.append(np.asarray(teh))
+            outputs_test = np.asarray(logits)
+            if verbose:
+                print(
+                    f"[phase freeze={phase_cfg.freeze}] "
+                    f"final train_acc={hist_tr[-1][-1]:.3f} test_acc={hist_te[-1][-1]:.3f}"
+                )
+        history = {
+            "loss": np.concatenate(hist_loss),
+            "train_acc": np.concatenate(hist_tr),
+            "test_acc": np.concatenate(hist_te),
+        }
+        return TrainResult(params, bstats, history, outputs_test)
