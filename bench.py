@@ -1,0 +1,157 @@
+"""Benchmark: EEGNet per-subject fine-tune throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md), so the baseline
+here is the reference-style torch implementation of the same workload
+measured on this host's CPU (the only hardware the torch reference can use in
+this image). ``vs_baseline`` = our samples/sec / torch samples/sec.
+
+Workload: the published EEGNet recipe — (280, 30, 500) train split, bs=32,
+Adam 1e-5 (`Dataload_eeg.py:250-256`) — run subject-parallel (8 stacked
+subjects vmap-packed on one chip), which is how the framework actually
+executes the 42-subject sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# Persistent compilation cache: compiles through the remote-compile tunnel
+# cost minutes; cache them across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+
+def bench_tpu(subjects: int = 8, epochs: int = 20) -> float:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+    from eav_tpu.parallel.mesh import SUBJECT_AXIS, make_mesh
+    from eav_tpu.parallel.subject import SubjectParallelTrainer
+
+    rng = np.random.default_rng(0)
+    S, n_tr, n_te = subjects, 280, 120
+    tr_x = rng.normal(size=(S, n_tr, 30, 500)).astype(np.float32)
+    tr_y = rng.integers(0, 5, size=(S, n_tr)).astype(np.int32)
+    te_x = rng.normal(size=(S, n_te, 30, 500)).astype(np.float32)
+    te_y = rng.integers(0, 5, size=(S, n_te)).astype(np.int32)
+
+    model = EEGNet()
+    mesh = make_mesh(((SUBJECT_AXIS, 1),), devices=jax.devices()[:1])
+
+    # One compiled multi-epoch phase program — the whole fine-tune is a single
+    # device program (train/loop.py), which also amortizes the per-invocation
+    # latency of the remote TPU tunnel.
+    import jax.numpy as jnp
+
+    from eav_tpu.core.optim import init_adam_state, trainable_mask
+    from eav_tpu.train.loop import JitTrainer
+
+    inner = JitTrainer(model, FinetuneConfig(
+        model="eegnet",
+        batch_size=32,
+        optimizer="adam",
+        weight_decay=0.0,
+        phases=(PhaseConfig(epochs=epochs, lr=1e-5, freeze=False),),
+    ), maxnorm_rules=model.maxnorm_rules)
+    tr_xd, te_xd = jnp.asarray(tr_x), jnp.asarray(te_x)
+    tr_yd, te_yd = jnp.asarray(tr_y), jnp.asarray(te_y)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(S, dtype=jnp.uint32))
+
+    def init_one(key, x1):
+        v = model.init({"params": key, "dropout": key}, x1[:1], train=False)
+        return v["params"], v.get("batch_stats", {})
+
+    params, bstats = jax.vmap(init_one)(keys, tr_xd)
+    opt_state = jax.vmap(init_adam_state)(params)
+    one_params = jax.tree.map(lambda p: p[0], params)
+    mask = trainable_mask(one_params, False)
+    phase = inner.build_phase_fn(mask, epochs, n_tr, n_te)
+    vphase = jax.jit(jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+    lr = jnp.float32(1e-5)
+    args = (params, bstats, opt_state, keys, tr_xd, tr_yd, te_xd, te_yd, lr)
+    out = vphase(*args)  # compile + warmup run
+    np.asarray(out[5])  # materialize to host: the only reliable fence here
+    t0 = time.perf_counter()
+    out = vphase(*args)
+    np.asarray(out[5])
+    dt = time.perf_counter() - t0
+    return S * n_tr * epochs / dt
+
+
+def bench_torch_cpu(epochs: int = 2) -> float:
+    """Reference-style torch EEGNet (EEGNet_tor semantics) on host CPU."""
+    import torch
+    import torch.nn as nn
+
+    class TorchEEGNet(nn.Module):
+        def __init__(self, C=30, T=500, F1=8, D=8, F2=64, K=300, ncls=5):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, F1, (1, K), padding="same", bias=False)
+            self.b1 = nn.BatchNorm2d(F1)
+            self.c2 = nn.Conv2d(F1, F1 * D, (C, 1), groups=F1, bias=False)
+            self.b2 = nn.BatchNorm2d(F1 * D)
+            self.c3 = nn.Conv2d(F1 * D, F2, (1, 16), padding="same", bias=False)
+            self.b3 = nn.BatchNorm2d(F2)
+            self.fc = nn.Linear(F2 * (T // 4 // 8), ncls)
+            self.drop = nn.Dropout(0.5)
+            self.elu = nn.ELU()
+
+        def forward(self, x):
+            x = self.elu(self.b1(self.c1(x)))
+            x = self.elu(self.b2(self.c2(x)))
+            x = self.drop(nn.functional.avg_pool2d(x, (1, 4)))
+            x = self.elu(self.b3(self.c3(x)))
+            x = self.drop(nn.functional.avg_pool2d(x, (1, 8)))
+            return self.fc(torch.flatten(x, 1))
+
+    torch.manual_seed(0)
+    n = 280
+    x = torch.randn(n, 1, 30, 500)
+    y = torch.randint(0, 5, (n,))
+    model = TorchEEGNet()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-5)
+    lossf = nn.CrossEntropyLoss()
+    model.train()
+    # one warmup epoch
+    for b in range(0, n, 32):
+        opt.zero_grad()
+        loss = lossf(model(x[b : b + 32]), y[b : b + 32])
+        loss.backward()
+        opt.step()
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for b in range(0, n, 32):
+            opt.zero_grad()
+            loss = lossf(model(x[b : b + 32]), y[b : b + 32])
+            loss.backward()
+            opt.step()
+    dt = time.perf_counter() - t0
+    return n * epochs / dt
+
+
+def main():
+    tpu_sps = bench_tpu()
+    torch_sps = bench_torch_cpu()
+    print(
+        json.dumps(
+            {
+                "metric": "eegnet_finetune_samples_per_sec",
+                "value": round(tpu_sps, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(tpu_sps / torch_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

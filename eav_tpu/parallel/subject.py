@@ -1,0 +1,110 @@
+"""Subject-parallel training: N independent per-subject fine-tunes as one
+sharded program.
+
+The EAV sweep is 42 subjects x 3 modalities of *independent* fine-tunes
+(reference `Dataload_audio.py:80-115` runs them serially). TPU-natively the
+whole batch of subjects becomes ONE program: per-subject (params, optimizer
+state, data) are stacked on a leading ``subject`` axis, the phase program
+(train/loop.py) is ``vmap``-ed over that axis, and the stack is sharded
+across the mesh's ``subject`` axis — zero inter-device communication, linear
+scaling, and small-batch models (EEGNet bs=32) pack the chip instead of
+underutilizing it (SURVEY.md §7.3 hard-part 6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eav_tpu.core.config import FinetuneConfig
+from eav_tpu.core.optim import init_adam_state, maxnorm_project, trainable_mask
+from eav_tpu.parallel.mesh import SUBJECT_AXIS, make_mesh, put_sharded
+from eav_tpu.train.loop import JitTrainer, TrainResult
+
+
+class StackedResult(NamedTuple):
+    params: Any  # stacked on subject axis
+    batch_stats: Any
+    history: Dict[str, np.ndarray]  # (subjects, epochs)
+    outputs_test: np.ndarray  # (subjects, n_test, classes)
+
+
+class SubjectParallelTrainer:
+    def __init__(
+        self,
+        model,
+        cfg: FinetuneConfig,
+        maxnorm_rules=(),
+        head_regex: str = r"(^|/)(head|classifier)(/|$)",
+        mesh=None,
+    ):
+        self.inner = JitTrainer(model, cfg, maxnorm_rules, head_regex)
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(((SUBJECT_AXIS, -1),))
+
+    def fit_stacked(
+        self, data, seeds: Optional[Sequence[int]] = None, init_params=None
+    ) -> StackedResult:
+        """``data``: (tr_x, tr_y, te_x, te_y), each stacked (S, n, ...).
+        ``init_params``: optional stacked params (e.g. a pretrained
+        checkpoint broadcast to all subjects)."""
+        tr_x, tr_y, te_x, te_y = data
+        S = tr_x.shape[0]
+        tr_x = jnp.asarray(tr_x, jnp.float32)
+        te_x = jnp.asarray(te_x, jnp.float32)
+        tr_y = jnp.asarray(tr_y, jnp.int32)
+        te_y = jnp.asarray(te_y, jnp.int32)
+        seeds = list(seeds) if seeds is not None else list(range(S))
+        # identical key discipline to JitTrainer.fit so stacked == serial
+        base_keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+        keys, init_keys = jax.vmap(lambda k: tuple(jax.random.split(k)))(base_keys)
+
+        def init_one(key, x1):
+            variables = self.model.init(
+                {"params": key, "dropout": key}, x1[:1], train=False
+            )
+            params = variables["params"]
+            if self.inner.maxnorm_rules:
+                params = maxnorm_project(params, self.inner.maxnorm_rules)
+            return params, variables.get("batch_stats", {})
+
+        if init_params is None:
+            params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+        else:
+            params, bstats = init_params
+        opt_state = jax.vmap(init_adam_state)(params)
+
+        # masks are identical across subjects (same structure)
+        one_params = jax.tree.map(lambda p: p[0], params)
+        n_train, n_test = int(tr_x.shape[1]), int(te_x.shape[1])
+
+        hist = {"loss": [], "train_acc": [], "test_acc": []}
+        outputs_test = None
+        rngs = keys  # the post-split carry keys, matching JitTrainer.fit
+        sub_shard = lambda x: put_sharded(x, self.mesh, SUBJECT_AXIS)
+        params = jax.tree.map(sub_shard, params)
+        opt_state = jax.tree.map(sub_shard, opt_state)
+        tr_x, tr_y, te_x, te_y = map(sub_shard, (tr_x, tr_y, te_x, te_y))
+
+        for phase_cfg in self.cfg.phases:
+            mask = trainable_mask(one_params, phase_cfg.freeze, self.inner.head_regex)
+            phase = self.inner.build_phase_fn(mask, phase_cfg.epochs, n_train, n_test)
+            vphase = jax.jit(
+                jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
+                donate_argnums=(0, 2),
+            )
+            params, bstats, opt_state, rngs, (lh, trh, teh), logits = vphase(
+                params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y,
+                jnp.asarray(phase_cfg.lr, jnp.float32),
+            )
+            hist["loss"].append(np.asarray(lh))
+            hist["train_acc"].append(np.asarray(trh))
+            hist["test_acc"].append(np.asarray(teh))
+            outputs_test = np.asarray(logits)
+
+        history = {k: np.concatenate(v, axis=1) for k, v in hist.items()}
+        return StackedResult(params, bstats, history, outputs_test)

@@ -93,7 +93,12 @@ class JitTrainer:
 
     # -- phase program ----------------------------------------------------
 
-    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int):
+    def build_phase_fn(self, mask, epochs: int, n_train: int, n_test: int):
+        """Pure phase program (no jit): suitable for direct jit or for
+        vmap-over-subjects composition (parallel/subject.py)."""
+        return self._build_phase(mask, epochs, n_train, n_test, jit=False)
+
+    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int, jit: bool = True):
         cfg = self.cfg
         bs = min(cfg.batch_size, n_train)
         steps = -(-n_train // bs)
@@ -164,6 +169,8 @@ class JitTrainer:
             logits = eval_logits(params, bstats, te_x)
             return params, bstats, opt_state, rng, (loss_h, tr_h, te_h), logits
 
+        if not jit:
+            return phase
         return jax.jit(phase, donate_argnums=(0, 2))
 
     # -- public API --------------------------------------------------------

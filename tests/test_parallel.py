@@ -1,0 +1,74 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU platform (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+from eav_tpu.models.eegnet import EEGNet
+from eav_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SUBJECT_AXIS,
+    constrain,
+    make_mesh,
+    put_sharded,
+)
+from eav_tpu.parallel.subject import SubjectParallelTrainer
+from eav_tpu.train.loop import JitTrainer
+
+
+def test_cpu_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(((DATA_AXIS, -1),))
+    assert m.devices.shape == (8,)
+    m2 = make_mesh(((SUBJECT_AXIS, 4), ("model", 2)))
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh((("a", 16),))
+
+
+def test_sharded_matmul_matches_local(rng):
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    x = rng.normal(size=(16, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    xs = put_sharded(jnp.asarray(x), mesh, DATA_AXIS)
+
+    @jax.jit
+    def f(x, w):
+        return constrain(x @ w, mesh, DATA_AXIS)
+
+    out = f(xs, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), x @ w, rtol=2e-5, atol=1e-5)
+
+
+def test_subject_parallel_matches_serial(rng):
+    """8 subjects trained in one sharded program == 8 serial fits."""
+    S, n, chans, samples = 8, 20, 4, 64
+    x = rng.normal(size=(S, n, chans, samples)).astype(np.float32)
+    y = rng.integers(0, 5, size=(S, n)).astype(np.int32)
+    te_x = rng.normal(size=(S, 12, chans, samples)).astype(np.float32)
+    te_y = rng.integers(0, 5, size=(S, 12)).astype(np.int32)
+
+    cfg = FinetuneConfig(
+        model="eegnet",
+        batch_size=8,
+        optimizer="adam",
+        weight_decay=0.0,
+        phases=(PhaseConfig(epochs=2, lr=1e-3, freeze=False),),
+    )
+    model = EEGNet(chans=chans, samples=samples, kern_length=16, dropout_rate=0.0)
+    sp = SubjectParallelTrainer(model, cfg, maxnorm_rules=model.maxnorm_rules)
+    stacked = sp.fit_stacked((x, y, te_x, te_y), seeds=list(range(S)))
+    assert stacked.outputs_test.shape == (S, 12, 5)
+    assert stacked.history["test_acc"].shape == (S, 2)
+
+    # serial reference for subject 3
+    jt = JitTrainer(model, cfg, maxnorm_rules=model.maxnorm_rules)
+    serial = jt.fit((x[3], y[3], te_x[3], te_y[3]), seed=3)
+    np.testing.assert_allclose(
+        stacked.outputs_test[3], serial.outputs_test, rtol=2e-4, atol=2e-4
+    )
