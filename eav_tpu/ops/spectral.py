@@ -1,0 +1,297 @@
+"""Spectral frontends as XLA ops: Kaldi-style log-mel fbank (AST), and
+librosa-convention mel / MFCC / chroma (the SCNN 180-d feature).
+
+The reference computes these on host via torchaudio/HF (AST fbank,
+`Transformer_Audio.py:38-42`) and librosa (SCNN features, audio notebook
+`extract_feature`, C14). Here the filterbank/window *designs* are tiny host
+numpy (cached), and the per-clip compute — framing, windowing, rFFT, mel
+projection, DCT — is batched jit XLA, so a whole subject's 400 clips are one
+fused device program.
+
+Numerical parity:
+- ``ast_fbank`` reproduces HF ``ASTFeatureExtractor``'s numpy path
+  (transformers.audio_utils.spectrogram with preemphasis 0.97, DC removal,
+  symmetric Hann 400, hop 160, fft 512, kaldi-scale mel, floor 1.19e-7, log,
+  zero-pad to 1024 frames) — required for AST checkpoint parity; golden
+  tests vs the HF implementation in tests/test_spectral.py.
+- mel/MFCC follow librosa conventions (slaney mel, power_to_db with top_db
+  80, DCT-II ortho); chroma follows librosa.filters.chroma with tuning=0
+  (librosa's default estimates tuning per clip — a deliberate, documented
+  deviation that only affects our own retrained SCNN, not a pretrained
+  checkpoint).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# -----------------------------------------------------------------------------
+# Host-side designs
+# -----------------------------------------------------------------------------
+
+
+def hertz_to_mel(freq, mel_scale: str = "htk"):
+    freq = np.asarray(freq, np.float64)
+    if mel_scale == "htk":
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    if mel_scale == "kaldi":
+        return 1127.0 * np.log(1.0 + freq / 700.0)
+    if mel_scale == "slaney":
+        min_log_hertz, min_log_mel = 1000.0, 15.0
+        logstep = 27.0 / np.log(6.4)
+        mels = 3.0 * freq / 200.0
+        return np.where(
+            freq >= min_log_hertz,
+            min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hertz) * logstep,
+            mels,
+        )
+    raise ValueError(mel_scale)
+
+
+def mel_to_hertz(mels, mel_scale: str = "htk"):
+    mels = np.asarray(mels, np.float64)
+    if mel_scale == "htk":
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    if mel_scale == "kaldi":
+        return 700.0 * (np.exp(mels / 1127.0) - 1.0)
+    if mel_scale == "slaney":
+        min_log_hertz, min_log_mel = 1000.0, 15.0
+        logstep = np.log(6.4) / 27.0
+        freq = 200.0 * mels / 3.0
+        return np.where(
+            mels >= min_log_mel,
+            min_log_hertz * np.exp(logstep * (mels - min_log_mel)),
+            freq,
+        )
+    raise ValueError(mel_scale)
+
+
+@functools.lru_cache(maxsize=32)
+def mel_filter_bank(
+    num_frequency_bins: int,
+    num_mel_filters: int,
+    min_frequency: float,
+    max_frequency: float,
+    sampling_rate: int,
+    norm: Optional[str] = None,
+    mel_scale: str = "htk",
+    triangularize_in_mel_space: bool = False,
+) -> np.ndarray:
+    """(num_frequency_bins, num_mel_filters) triangular filter matrix;
+    matches transformers.audio_utils.mel_filter_bank / librosa.filters.mel
+    conventions depending on args."""
+    mel_min = hertz_to_mel(min_frequency, mel_scale)
+    mel_max = hertz_to_mel(max_frequency, mel_scale)
+    mel_freqs = np.linspace(mel_min, mel_max, num_mel_filters + 2)
+    filter_freqs = mel_to_hertz(mel_freqs, mel_scale)
+    if triangularize_in_mel_space:
+        fft_bin_width = sampling_rate / ((num_frequency_bins - 1) * 2)
+        fft_freqs = hertz_to_mel(fft_bin_width * np.arange(num_frequency_bins), mel_scale)
+        filter_freqs = mel_freqs
+    else:
+        fft_freqs = np.linspace(0, sampling_rate // 2, num_frequency_bins)
+    # triangular interpolation
+    filter_diff = np.diff(filter_freqs)
+    slopes = filter_freqs[None, :] - fft_freqs[:, None]
+    down = -slopes[:, :-2] / filter_diff[:-1]
+    up = slopes[:, 2:] / filter_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        enorm = 2.0 / (filter_freqs[2 : num_mel_filters + 2] - filter_freqs[:num_mel_filters])
+        fb = fb * enorm[None, :]
+    return fb
+
+
+@functools.lru_cache(maxsize=16)
+def hann_window(length: int, periodic: bool = False) -> np.ndarray:
+    if periodic:
+        return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(length) / length)
+    return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(length) / (length - 1))
+
+
+@functools.lru_cache(maxsize=16)
+def chroma_filter_bank(
+    sampling_rate: int,
+    n_fft: int,
+    n_chroma: int = 12,
+    tuning: float = 0.0,
+    ctroct: float = 5.0,
+    octwidth: float = 2.0,
+    base_c: bool = True,
+) -> np.ndarray:
+    """librosa.filters.chroma equivalent (tuning fixed, see module docstring).
+    Returns (n_chroma, 1 + n_fft//2)."""
+    frequencies = np.linspace(0, sampling_rate, n_fft, endpoint=False)[1:]
+    a440 = 440.0 * 2.0 ** (tuning / n_chroma)
+    frqbins = n_chroma * np.log2(frequencies / (a440 / 16))
+    frqbins = np.concatenate(([frqbins[0] - 1.5 * n_chroma], frqbins))
+    binwidthbins = np.concatenate((np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]))
+    D = np.subtract.outer(frqbins, np.arange(0, n_chroma, dtype="d")).T
+    n_chroma2 = np.round(float(n_chroma) / 2)
+    D = np.remainder(D + n_chroma2 + 10 * n_chroma, n_chroma) - n_chroma2
+    wts = np.exp(-0.5 * (2 * D / np.tile(binwidthbins, (n_chroma, 1))) ** 2)
+    # normalize columns (L2)
+    wts = wts / np.maximum(np.sqrt(np.sum(wts**2, axis=0, keepdims=True)), 1e-10)
+    if octwidth is not None:
+        wts *= np.tile(
+            np.exp(-0.5 * (((frqbins / n_chroma - ctroct) / octwidth) ** 2)),
+            (n_chroma, 1),
+        )
+    if base_c:
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return np.ascontiguousarray(wts[:, : int(1 + n_fft / 2)])
+
+
+# -----------------------------------------------------------------------------
+# Device ops
+# -----------------------------------------------------------------------------
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, frame_length), no centering."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
+    return x[..., idx]
+
+
+@functools.partial(jax.jit, static_argnames=("num_mel_bins", "max_frames", "sampling_rate"))
+def ast_fbank(
+    waveform: jnp.ndarray,
+    num_mel_bins: int = 128,
+    max_frames: int = 1024,
+    sampling_rate: int = 16000,
+) -> jnp.ndarray:
+    """Kaldi-compatible log-mel fbank, HF ASTFeatureExtractor numerics.
+    (..., T) -> (..., max_frames, num_mel_bins), un-normalized."""
+    frame_length, hop, fft_length = 400, 160, 512
+    preemph, mel_floor = 0.97, 1.192092955078125e-07
+    frames = frame_signal(waveform, frame_length, hop)
+    frames = frames - frames.mean(axis=-1, keepdims=True)  # remove_dc_offset
+    head = frames[..., :1] * (1.0 - preemph)
+    tail = frames[..., 1:] - preemph * frames[..., :-1]
+    frames = jnp.concatenate([head, tail], axis=-1)
+    window = jnp.asarray(hann_window(frame_length, periodic=False), frames.dtype)
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    power = jnp.abs(spec) ** 2
+    fb = jnp.asarray(
+        mel_filter_bank(
+            num_frequency_bins=fft_length // 2 + 1,
+            num_mel_filters=num_mel_bins,
+            min_frequency=20.0,
+            max_frequency=sampling_rate // 2,
+            sampling_rate=sampling_rate,
+            norm=None,
+            mel_scale="kaldi",
+            triangularize_in_mel_space=True,
+        ),
+        power.dtype,
+    )
+    mel = jnp.maximum(mel_floor, power @ fb)
+    logmel = jnp.log(mel)
+    n = logmel.shape[-2]
+    if n < max_frames:
+        pad = [(0, 0)] * (logmel.ndim - 2) + [(0, max_frames - n), (0, 0)]
+        logmel = jnp.pad(logmel, pad)
+    else:
+        logmel = logmel[..., :max_frames, :]
+    return logmel
+
+
+def ast_features(
+    waveform: jnp.ndarray,
+    mean: float = -4.2677393,
+    std: float = 4.5689974,
+    **kw,
+) -> jnp.ndarray:
+    """Full AST frontend incl. AudioSet normalization (x - mean) / (2*std)
+    (`preprocessor_config.json`, HF ASTFeatureExtractor.normalize)."""
+    fbank = ast_fbank(waveform, **kw)
+    return (fbank - mean) / (2.0 * std)
+
+
+def stft_mag_sq(
+    y: jnp.ndarray, n_fft: int = 2048, hop: int = 512, center: bool = True
+) -> jnp.ndarray:
+    """librosa-style power STFT: (..., T) -> (..., frames, 1 + n_fft//2)."""
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        y = jnp.pad(y, pad, mode="reflect")
+    frames = frame_signal(y, n_fft, hop)
+    window = jnp.asarray(hann_window(n_fft, periodic=True), frames.dtype)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.abs(spec) ** 2
+
+
+def mel_spectrogram(
+    y: jnp.ndarray, sr: int = 22050, n_fft: int = 2048, hop: int = 512, n_mels: int = 128
+) -> jnp.ndarray:
+    """librosa.feature.melspectrogram equivalent: (..., frames, n_mels)."""
+    power = stft_mag_sq(y, n_fft, hop)
+    fb = jnp.asarray(
+        mel_filter_bank(
+            num_frequency_bins=n_fft // 2 + 1,
+            num_mel_filters=n_mels,
+            min_frequency=0.0,
+            max_frequency=sr / 2.0,
+            sampling_rate=sr,
+            norm="slaney",
+            mel_scale="slaney",
+        ),
+        power.dtype,
+    )
+    return power @ fb
+
+
+def power_to_db(S: jnp.ndarray, top_db: float = 80.0, amin: float = 1e-10) -> jnp.ndarray:
+    """librosa.power_to_db with ref=1.0; top_db clip relative to the
+    per-sample max over the last two axes."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    if top_db is not None:
+        mx = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        log_spec = jnp.maximum(log_spec, mx - top_db)
+    return log_spec
+
+
+def mfcc(
+    y: jnp.ndarray, sr: int = 22050, n_mfcc: int = 40, n_fft: int = 2048, hop: int = 512
+) -> jnp.ndarray:
+    """librosa.feature.mfcc equivalent: (..., frames, n_mfcc)."""
+    S_db = power_to_db(mel_spectrogram(y, sr, n_fft, hop))
+    n_mels = S_db.shape[-1]
+    # DCT-II with ortho norm along the mel axis
+    k = np.arange(n_mels)
+    basis = np.cos(np.pi / n_mels * (k[:, None] + 0.5) * np.arange(n_mfcc)[None, :])
+    scale = np.full((n_mfcc,), np.sqrt(2.0 / n_mels))
+    scale[0] = np.sqrt(1.0 / n_mels)
+    dct_m = jnp.asarray(basis * scale[None, :], S_db.dtype)
+    return S_db @ dct_m
+
+
+def chroma_stft(
+    y: jnp.ndarray, sr: int = 22050, n_chroma: int = 12, n_fft: int = 2048, hop: int = 512
+) -> jnp.ndarray:
+    """librosa.feature.chroma_stft equivalent (tuning=0): (..., frames, n_chroma),
+    per-frame inf-norm normalized."""
+    power = stft_mag_sq(y, n_fft, hop)
+    fb = jnp.asarray(chroma_filter_bank(sr, n_fft, n_chroma), power.dtype)
+    raw = power @ fb.T
+    mx = jnp.max(jnp.abs(raw), axis=-1, keepdims=True)
+    return raw / jnp.maximum(mx, 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def scnn180_features(y: jnp.ndarray, sr: int = 22050) -> jnp.ndarray:
+    """The audio notebook's 180-d handcrafted vector (C14,
+    `CNN_audio_emotion_recognition.ipynb` extract_feature): per 5 s segment,
+    mean over frames of MFCC(40) ++ chroma(12) ++ mel(128). (..., T) -> (..., 180)."""
+    m = mfcc(y, sr).mean(axis=-2)
+    c = chroma_stft(y, sr).mean(axis=-2)
+    s = mel_spectrogram(y, sr).mean(axis=-2)
+    return jnp.concatenate([m, c, s], axis=-1)

@@ -21,6 +21,10 @@ import jax  # noqa: E402
 if "axon" in (jax.config.jax_platforms or ""):
     jax.config.update("jax_platforms", "cpu")
 
+# Golden-parity tests compare against float64 scipy/HF oracles; production
+# code requests float32 explicitly.
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -9,7 +9,6 @@ import scipy.signal as sps
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
 
 from eav_tpu.core.config import EEGPreprocConfig
 from eav_tpu.ingest import mat5

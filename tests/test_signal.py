@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 import scipy.signal as sps
 
-jax.config.update("jax_enable_x64", True)
 
 from eav_tpu.ops.signal import bandpass_sos, design_butter_sos, resample_poly, sosfilt, upfirdn
 

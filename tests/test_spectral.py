@@ -1,0 +1,114 @@
+"""Spectral frontend parity tests.
+
+AST fbank: golden parity vs HF ASTFeatureExtractor's numpy implementation
+(the same code path the reference's `Transformer_Audio.py:38-42` hits in this
+environment). mel/MFCC: filter-bank parity vs transformers.audio_utils
+(librosa-equivalent slaney design) + scipy DCT. chroma: pitch-class property
+tests (librosa itself is not installed here).
+"""
+
+import numpy as np
+import pytest
+import scipy.fft
+
+from transformers import ASTFeatureExtractor
+from transformers import audio_utils as hf_audio
+
+from eav_tpu.ops import spectral
+
+
+@pytest.fixture(scope="module")
+def speechy(request):
+    rng = np.random.default_rng(42)
+    t = np.arange(5 * 16000) / 16000
+    x = (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 660 * t + 0.5)
+        + 0.05 * rng.normal(size=t.shape)
+    ).astype(np.float32)
+    return x
+
+
+def test_mel_filter_bank_matches_hf_kaldi():
+    ours = spectral.mel_filter_bank(257, 128, 20.0, 8000, 16000, None, "kaldi", True)
+    ref = hf_audio.mel_filter_bank(
+        num_frequency_bins=257,
+        num_mel_filters=128,
+        min_frequency=20,
+        max_frequency=8000,
+        sampling_rate=16000,
+        norm=None,
+        mel_scale="kaldi",
+        triangularize_in_mel_space=True,
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_mel_filter_bank_matches_hf_slaney():
+    ours = spectral.mel_filter_bank(1025, 128, 0.0, 11025.0, 22050, "slaney", "slaney", False)
+    ref = hf_audio.mel_filter_bank(
+        num_frequency_bins=1025,
+        num_mel_filters=128,
+        min_frequency=0.0,
+        max_frequency=11025.0,
+        sampling_rate=22050,
+        norm="slaney",
+        mel_scale="slaney",
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_ast_fbank_matches_hf(speechy):
+    fe = ASTFeatureExtractor()
+    ref = fe([speechy], sampling_rate=16000, padding="max_length", return_tensors="np")[
+        "input_values"
+    ][0]
+    ours = np.asarray(spectral.ast_features(speechy.astype(np.float64)))
+    assert ours.shape == ref.shape == (1024, 128)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-4)
+
+
+def test_ast_fbank_float32_close(speechy):
+    fe = ASTFeatureExtractor()
+    ref = fe([speechy], sampling_rate=16000, padding="max_length", return_tensors="np")[
+        "input_values"
+    ][0]
+    ours = np.asarray(spectral.ast_features(speechy))  # f32 throughout
+    assert np.abs(ours - ref).max() < 5e-3  # post-normalization units
+
+
+def test_ast_fbank_batched(speechy):
+    batch = np.stack([speechy, speechy * 0.5])
+    out = np.asarray(spectral.ast_features(batch))
+    assert out.shape == (2, 1024, 128)
+    single = np.asarray(spectral.ast_features(speechy))
+    np.testing.assert_allclose(out[0], single, rtol=1e-6, atol=1e-6)
+
+
+def test_mfcc_dct_matches_scipy(speechy):
+    y = speechy[: 22050 // 2]
+    S_db = np.asarray(spectral.power_to_db(spectral.mel_spectrogram(y.astype(np.float64))))
+    ref = scipy.fft.dct(S_db, type=2, axis=-1, norm="ortho")[..., :40]
+    ours = np.asarray(spectral.mfcc(y.astype(np.float64)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-7, atol=1e-8)
+
+
+def test_chroma_pure_tones_hit_pitch_class():
+    # 440 Hz = A (chroma index 9 with base_c), 261.63 Hz = C (index 0)
+    sr = 22050
+    t = np.arange(sr) / sr
+    for freq, expected in ((440.0, 9), (261.626, 0), (329.628, 4)):  # A, C, E
+        y = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        ch = np.asarray(spectral.chroma_stft(y, sr)).mean(axis=0)
+        assert int(np.argmax(ch)) == expected, (freq, ch)
+
+
+def test_scnn180_shape_and_blocks(speechy):
+    y = speechy[: 5 * 22050 // 2]
+    feat = np.asarray(spectral.scnn180_features(y))
+    assert feat.shape == (180,)
+    batch = np.asarray(spectral.scnn180_features(np.stack([y, y])))
+    assert batch.shape == (2, 180)
+    np.testing.assert_allclose(batch[0], feat, rtol=1e-6, atol=1e-6)
+    # mel block is raw power means (positive), mfcc block is dB-scale
+    assert (feat[52:] >= 0).all()
