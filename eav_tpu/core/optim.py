@@ -120,7 +120,7 @@ def mask_from_predicate(params, predicate) -> Any:
     )
 
 
-def trainable_mask(params, freeze: bool, head_regex: str = r"(^|/)(head|classifier)(/|$)"):
+def trainable_mask(params, freeze: bool, head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)"):
     """freeze=True -> only parameters whose path matches ``head_regex`` train
     (reference `Transformer_Audio.py:53-56`); freeze=False -> all train."""
     if not freeze:

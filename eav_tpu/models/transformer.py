@@ -1,0 +1,99 @@
+"""Shared pre-LN ViT-style transformer encoder (used by AST and ViT).
+
+Semantics match HF's ViT/AST encoder exactly (pre-LayerNorm, GELU MLP,
+per-head scaled dot-product attention) so pretrained torch checkpoints map
+1:1 onto these modules (models/hf_import.py), reproducing the reference's
+`AutoModelFor*Classification.from_pretrained` fine-tunes
+(`Transformer_Audio.py:22`, `Transformer_Vision.py:29`).
+
+TPU notes: attention/MLP are plain einsums — XLA fuses and tiles them onto
+the MXU; a Pallas flash-attention kernel can be swapped in via
+``attn_impl='flash'`` (ops/pallas). For tensor parallelism the head and MLP
+dimensions carry logical sharding constraints when a mesh is active
+(parallel/mesh.constrain is applied by the caller via
+``nn_partitioning``-free explicit annotations — heads are the natural
+``model``-axis shard unit).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MultiHeadSelfAttention(nn.Module):
+    hidden: int
+    heads: int
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, t, h = x.shape
+        d = self.hidden // self.heads
+        q = nn.Dense(self.hidden, name="query")(x)
+        k = nn.Dense(self.hidden, name="key")(x)
+        v = nn.Dense(self.hidden, name="value")(x)
+        q = q.reshape(b, t, self.heads, d)
+        k = k.reshape(b, t, self.heads, d)
+        v = v.reshape(b, t, self.heads, d)
+        if self.attn_impl == "flash":
+            from eav_tpu.ops.pallas.attention import flash_attention
+
+            ctx = flash_attention(q, k, v)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(x.dtype)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(b, t, self.hidden)
+        return nn.Dense(self.hidden, name="out")(ctx)
+
+
+class TransformerLayer(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    eps: float = 1e-12
+    dropout: float = 0.0
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=self.eps, name="ln1")(x)
+        y = MultiHeadSelfAttention(self.hidden, self.heads, self.attn_impl, name="attn")(
+            y, deterministic
+        )
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = x + y
+        z = nn.LayerNorm(epsilon=self.eps, name="ln2")(x)
+        z = nn.Dense(self.mlp_dim, name="fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(self.hidden, name="fc2")(z)
+        z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
+        return x + z
+
+
+class TransformerEncoder(nn.Module):
+    hidden: int
+    layers: int
+    heads: int
+    mlp_dim: int
+    eps: float = 1e-12
+    dropout: float = 0.0
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i in range(self.layers):
+            x = TransformerLayer(
+                self.hidden,
+                self.heads,
+                self.mlp_dim,
+                self.eps,
+                self.dropout,
+                self.attn_impl,
+                name=f"layer_{i}",
+            )(x, deterministic)
+        return x

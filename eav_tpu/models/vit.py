@@ -1,0 +1,68 @@
+"""ViT image classifier in Flax — the flagship vision model.
+
+Architecture parity with HF ``ViTForImageClassification`` (the reference
+fine-tunes the `facial_emotions_image_detection` ViT-base checkpoint,
+`Transformer_Vision.py:28-30`): 224x224x3 -> 16x16 patches stride 16 -> 196
+tokens + [CLS] + learned position embeddings, pre-LN encoder, final LN,
+classifier = Dense on the CLS token (swapped to 5 classes by the reference).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from eav_tpu.models.transformer import TransformerEncoder
+
+
+class ViT(nn.Module):
+    num_labels: int = 5
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    patch_size: int = 16
+    image_size: int = 224
+    eps: float = 1e-12
+    dropout: float = 0.0
+    attn_impl: str = "xla"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """``x``: (B, H, W, 3) NHWC, already processor-normalized."""
+        b = x.shape[0]
+        x = nn.Conv(
+            self.hidden,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_proj",
+        )(x)
+        x = x.reshape(b, -1, self.hidden)  # row-major patches == HF flatten
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.hidden))
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, self.num_patches + 1, self.hidden),
+        )
+        x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1) + pos
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = TransformerEncoder(
+            self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
+            self.dropout, self.attn_impl, name="encoder",
+        )(x, deterministic=not train)
+        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
+        return nn.Dense(self.num_labels, name="classifier")(x[:, 0])
+
+
+def vit_tiny(num_labels: int = 5, **kw) -> ViT:
+    defaults = dict(
+        num_labels=num_labels, hidden=32, layers=2, heads=2, mlp_dim=64,
+        patch_size=16, image_size=64,
+    )
+    defaults.update(kw)
+    return ViT(**defaults)

@@ -38,7 +38,7 @@ class SubjectParallelTrainer:
         model,
         cfg: FinetuneConfig,
         maxnorm_rules=(),
-        head_regex: str = r"(^|/)(head|classifier)(/|$)",
+        head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
         mesh=None,
     ):
         self.inner = JitTrainer(model, cfg, maxnorm_rules, head_regex)

@@ -67,7 +67,7 @@ class JitTrainer:
         model,
         cfg: FinetuneConfig,
         maxnorm_rules: Sequence[Tuple[str, float, Tuple[int, ...]]] = (),
-        head_regex: str = r"(^|/)(head|classifier)(/|$)",
+        head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
     ):
         self.model = model
         self.cfg = cfg
