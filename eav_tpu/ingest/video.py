@@ -1,0 +1,133 @@
+"""Vision ingest: .mp4 -> (samples, 25, H, W, 3) uint8 frame stacks + labels.
+
+Behavioral equivalent of the reference ``DataLoadVision``
+(`Dataload_vision.py:9-99`): Speaking clips only, every 6th frame of the
+first 600 (100 frames per 20 s clip), grouped 25 frames = 5 s per sample,
+labels from filename token 4.
+
+TPU-first restructure: the reference runs MTCNN *inside* the cv2 decode loop
+(one frame at a time, `Dataload_vision.py:63-74` — the pipeline's worst
+bottleneck, SURVEY.md §3.2). Here decode is a pure host loop producing a
+frame batch, and face detection runs afterwards as batched device inference
+(models/mtcnn.py), or a documented center-crop fallback when MTCNN weights
+are not available (they are not vendored; neither are the reference's).
+The reference's "no face found -> append anyway" latent bug
+(`Dataload_vision.py:71-73`) is fixed by always producing a crop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from eav_tpu.core.config import EMOTION_TO_INDEX, VisionPreprocConfig
+
+
+def decode_strided_frames(
+    path: str, stride: int = 6, max_frames: int = 600
+) -> List[np.ndarray]:
+    """cv2 decode: RGB frames 0, stride, 2*stride, ... < max_frames
+    (reference `Dataload_vision.py:49-62` keeps frame_index-1 % 6 == 0)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames: List[np.ndarray] = []
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    idx = 0
+    while idx < max_frames:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if idx % stride == 0:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        idx += 1
+    cap.release()
+    return frames
+
+
+def center_crop_resize(frames: np.ndarray, size: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, size, size, 3): square center crop + cv2
+    resize. The no-weights fallback face path (faces are centered in EAV
+    recordings)."""
+    import cv2
+
+    n, h, w, _ = frames.shape
+    s = min(h, w)
+    y0, x0 = (h - s) // 2, (w - s) // 2
+    out = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        out[i] = cv2.resize(frames[i, y0 : y0 + s, x0 : x0 + s], (size, size))
+    return out
+
+
+def resize_frames(frames: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    n = frames.shape[0]
+    out = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        out[i] = cv2.resize(frames[i], (size, size))
+    return out
+
+
+class DataLoadVision:
+    """Public interface parity (`Dataload_vision.py:96-99`):
+    ``process() -> (images, image_label_idx)`` with images
+    (samples, frames_per_sample, H, W, 3) uint8."""
+
+    def __init__(
+        self,
+        subject: int = 1,
+        parent_directory: str = "./Datasets/EAV",
+        config: VisionPreprocConfig = VisionPreprocConfig(),
+        face_cropper: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ):
+        self.subject = subject
+        self.parent_directory = parent_directory
+        self.cfg = config
+        self._face_cropper = face_cropper
+
+    def data_files(self) -> List[str]:
+        path = os.path.join(self.parent_directory, f"subject{self.subject:02d}", "Video")
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if "Speaking" in f and f.endswith(".mp4")
+        ]
+
+    def _crop(self, frames: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if not cfg.face_detection:
+            return resize_frames(frames, cfg.image_size)
+        if self._face_cropper is not None:
+            return self._face_cropper(frames)
+        try:
+            from eav_tpu.models.mtcnn import default_face_cropper
+
+            cropper = default_face_cropper(cfg)
+            if cropper is not None:
+                self._face_cropper = cropper
+                return cropper(frames)
+        except Exception:
+            pass
+        return center_crop_resize(frames, cfg.face_image_size)
+
+    def process(self) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.cfg
+        samples, labels = [], []
+        for path in self.data_files():
+            emotion = os.path.basename(path).split("_")[4].split(".")[0]
+            frames = decode_strided_frames(path, cfg.frame_stride, cfg.max_frames)
+            if not frames:
+                continue
+            frames = self._crop(np.stack(frames))
+            n_groups = len(frames) // cfg.frames_per_sample
+            for g in range(n_groups):
+                samples.append(
+                    frames[g * cfg.frames_per_sample : (g + 1) * cfg.frames_per_sample]
+                )
+                labels.append(EMOTION_TO_INDEX[emotion])
+        return np.stack(samples), np.asarray(labels, np.int32)
