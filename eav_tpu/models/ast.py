@@ -63,12 +63,13 @@ class AST(nn.Module):
         )(x)
         # (B, 12, 101, H) -> (B, 1212, H); freq-major ordering == HF flatten(2)
         x = x.reshape(b, -1, self.hidden)
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.hidden))
-        dist = self.param("dist_token", nn.initializers.zeros, (1, 1, self.hidden))
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.hidden), jnp.float32)
+        dist = self.param("dist_token", nn.initializers.zeros, (1, 1, self.hidden), jnp.float32)
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
             (1, self.num_patches + 2, self.hidden),
+            jnp.float32,
         )
         x = jnp.concatenate(
             [jnp.tile(cls, (b, 1, 1)), jnp.tile(dist, (b, 1, 1)), x], axis=1

@@ -35,7 +35,7 @@ class PReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        alpha = self.param("alpha", nn.initializers.constant(0.25), (self.features,))
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (self.features,), jnp.float32)
         return jnp.where(x >= 0, x, alpha * x)
 
 

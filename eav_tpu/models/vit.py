@@ -43,11 +43,12 @@ class ViT(nn.Module):
             name="patch_proj",
         )(x)
         x = x.reshape(b, -1, self.hidden)  # row-major patches == HF flatten
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.hidden))
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.hidden), jnp.float32)
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
             (1, self.num_patches + 1, self.hidden),
+            jnp.float32,
         )
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1) + pos
         x = nn.Dropout(self.dropout)(x, deterministic=not train)

@@ -175,6 +175,15 @@ class JitTrainer:
 
     # -- public API --------------------------------------------------------
 
+    def predict(self, params, bstats, x, batch_size: Optional[int] = None) -> np.ndarray:
+        """Eval-mode logits for an arbitrary split (used by the fusion stage
+        to collect train-trial scores)."""
+        bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
+        x = jnp.asarray(x, jnp.float32)
+        apply = jax.jit(self._apply_eval)
+        outs = [np.asarray(apply(params, bstats, x[i : i + bs])) for i in range(0, len(x), bs)]
+        return np.concatenate(outs, axis=0)
+
     def fit(self, data, seed: Optional[int] = None, verbose: bool = False) -> TrainResult:
         tr_x, tr_y, te_x, te_y = data
         tr_x = jnp.asarray(tr_x, jnp.float32)
