@@ -1,0 +1,106 @@
+"""Command-line entry point.
+
+The reference requires editing source paths and running module scripts
+(`README.md:80-84,157-161`); here the sweep is a CLI:
+
+  python -m eav_tpu.cli presets
+  python -m eav_tpu.cli run --data-root /data/EAV --subjects 1-42 \
+      --modalities eeg,audio,vision --cache-dir ./cache --out ./runs/sweep1
+  python -m eav_tpu.cli aggregate --out ./runs/sweep1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+
+def _parse_subjects(spec: str) -> List[int]:
+    out: List[int] = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def cmd_presets(_args) -> int:
+    from eav_tpu.core.config import PRESETS
+
+    for name, p in PRESETS.items():
+        print(f"{name:18s} {p.description}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from eav_tpu.core.config import SweepConfig
+    from eav_tpu.core.sweep import SweepRunner
+    from eav_tpu.train.pipeline import ModalityPipelines
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    pipelines = ModalityPipelines(
+        data_root=args.data_root,
+        cache_dir=args.cache_dir or os.path.join(out, "cache"),
+        logits_dir=os.path.join(out, "logits"),
+        seed=args.seed,
+    )
+    cfg = SweepConfig(
+        subjects=tuple(_parse_subjects(args.subjects)),
+        modalities=tuple(args.modalities.split(",")),
+        data_root=args.data_root,
+        journal_path=os.path.join(out, "journal.jsonl"),
+        metrics_path=os.path.join(out, "metrics.jsonl"),
+        checkpoint_dir=os.path.join(out, "checkpoints") if args.checkpoint else None,
+        resume=not args.no_resume,
+        max_retries=args.max_retries,
+    )
+    runner = SweepRunner(cfg, pipelines.task_fn)
+    runner.run(verbose=True)
+    print(json.dumps(runner.aggregate(), indent=2))
+    return 0
+
+
+def cmd_aggregate(args) -> int:
+    from eav_tpu.core.config import SweepConfig
+    from eav_tpu.core.sweep import SweepRunner
+
+    cfg = SweepConfig(
+        journal_path=os.path.join(args.out, "journal.jsonl"),
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+    )
+    print(json.dumps(SweepRunner(cfg, lambda s, m: None).aggregate(), indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="eav_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("presets").set_defaults(fn=cmd_presets)
+
+    run = sub.add_parser("run")
+    run.add_argument("--data-root", required=True)
+    run.add_argument("--subjects", default="1-42")
+    run.add_argument("--modalities", default="eeg,audio,vision")
+    run.add_argument("--out", default="./runs/sweep")
+    run.add_argument("--cache-dir", default=None)
+    run.add_argument("--seed", type=int, default=0)
+    run.add_argument("--checkpoint", action="store_true")
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--max-retries", type=int, default=1)
+    run.set_defaults(fn=cmd_run)
+
+    agg = sub.add_parser("aggregate")
+    agg.add_argument("--out", default="./runs/sweep")
+    agg.set_defaults(fn=cmd_aggregate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

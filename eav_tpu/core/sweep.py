@@ -1,0 +1,152 @@
+"""Journaled subject x modality sweep scheduler with resume + JSONL metrics.
+
+The reference's "sweep" is a bare ``for sub in range(1, 43)`` loop that
+crashes on any failure and logs via append-txt
+(`Dataload_audio.py:80-115`, `Transformer_Audio.py:102-103`). This runner
+gives the 126-task (42 subjects x 3 modalities) sweep the auxiliary
+subsystems the reference lacks (SURVEY.md §5):
+
+- per-task journal (JSONL): done/failed state, attempts, wall-clock — a new
+  run resumes by skipping completed tasks and retrying failed ones;
+- structured metrics JSONL (subject, modality, accuracy, weighted F1,
+  samples/sec, wall-clock) replacing print+txt;
+- optional checkpoint of final params per task (core/checkpoint.py);
+- pluggable task functions so tests can run the full machinery on synthetic
+  data (and fusion can consume archived logits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from eav_tpu.core.config import SweepConfig
+
+
+@dataclass
+class TaskResult:
+    metrics: Dict[str, Any]
+    artifacts: Optional[Dict[str, Any]] = None  # e.g. params to checkpoint
+
+
+TaskFn = Callable[[int, str], TaskResult]  # (subject, modality) -> result
+
+
+def _read_jsonl(path: str) -> List[dict]:
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _append_jsonl(path: str, record: dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+class SweepRunner:
+    def __init__(self, cfg: SweepConfig, task_fn: TaskFn):
+        self.cfg = cfg
+        self.task_fn = task_fn
+
+    def _task_id(self, subject: int, modality: str) -> str:
+        return f"subject{subject:02d}_{modality}"
+
+    def journal_state(self) -> Dict[str, dict]:
+        """Latest journal record per task id."""
+        state: Dict[str, dict] = {}
+        for rec in _read_jsonl(self.cfg.journal_path):
+            state[rec["task"]] = rec
+        return state
+
+    def pending_tasks(self) -> List[Tuple[int, str]]:
+        state = self.journal_state() if self.cfg.resume else {}
+        tasks = []
+        for modality in self.cfg.modalities:
+            for subject in self.cfg.subjects:
+                tid = self._task_id(subject, modality)
+                rec = state.get(tid)
+                if rec is None:
+                    tasks.append((subject, modality))
+                elif rec["status"] == "failed" and rec.get("attempts", 1) <= self.cfg.max_retries:
+                    tasks.append((subject, modality))
+        return tasks
+
+    def run(self, verbose: bool = True) -> Dict[str, dict]:
+        state = self.journal_state()
+        for subject, modality in self.pending_tasks():
+            tid = self._task_id(subject, modality)
+            attempts = state.get(tid, {}).get("attempts", 0) + 1
+            t0 = time.perf_counter()
+            try:
+                result = self.task_fn(subject, modality)
+                wall = time.perf_counter() - t0
+                metrics = dict(result.metrics)
+                metrics.update(subject=subject, modality=modality, wall_clock_s=round(wall, 3))
+                _append_jsonl(self.cfg.metrics_path, metrics)
+                if result.artifacts and self.cfg.checkpoint_dir:
+                    from eav_tpu.core.checkpoint import save_pytree
+
+                    save_pytree(
+                        os.path.join(self.cfg.checkpoint_dir, tid), result.artifacts
+                    )
+                rec = {
+                    "task": tid,
+                    "status": "done",
+                    "attempts": attempts,
+                    "wall_clock_s": round(wall, 3),
+                    "ts": time.time(),
+                }
+            except Exception as e:  # noqa: BLE001 — task isolation is the point
+                rec = {
+                    "task": tid,
+                    "status": "failed",
+                    "attempts": attempts,
+                    "error": f"{type(e).__name__}: {e}",
+                    "traceback": traceback.format_exc(limit=5),
+                    "ts": time.time(),
+                }
+                if verbose:
+                    print(f"[sweep] {tid} FAILED ({rec['error']})")
+            _append_jsonl(self.cfg.journal_path, rec)
+            state[tid] = rec
+            if verbose and rec["status"] == "done":
+                print(f"[sweep] {tid} done in {rec['wall_clock_s']}s")
+        return state
+
+    def aggregate(self) -> Dict[str, Dict[str, float]]:
+        """Per-modality mean/std of accuracy and weighted F1 over subjects —
+        the published summary quantities (`README.md:23,31,40`)."""
+        rows = _read_jsonl(self.cfg.metrics_path)
+        by_mod: Dict[str, Dict[str, list]] = {}
+        seen = set()
+        for r in reversed(rows):  # latest record per task wins
+            key = (r.get("subject"), r.get("modality"))
+            if key in seen or r.get("accuracy") is None:
+                continue
+            seen.add(key)
+            d = by_mod.setdefault(r["modality"], {"accuracy": [], "weighted_f1": []})
+            d["accuracy"].append(r["accuracy"])
+            if r.get("weighted_f1") is not None:
+                d["weighted_f1"].append(r["weighted_f1"])
+        out = {}
+        for mod, d in by_mod.items():
+            out[mod] = {
+                "n_subjects": len(d["accuracy"]),
+                "mean_accuracy": float(np.mean(d["accuracy"])),
+                "std_accuracy": float(np.std(d["accuracy"])),
+                "mean_weighted_f1": float(np.mean(d["weighted_f1"])) if d["weighted_f1"] else None,
+            }
+        return out

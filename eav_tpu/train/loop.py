@@ -184,7 +184,17 @@ class JitTrainer:
         outs = [np.asarray(apply(params, bstats, x[i : i + bs])) for i in range(0, len(x), bs)]
         return np.concatenate(outs, axis=0)
 
-    def fit(self, data, seed: Optional[int] = None, verbose: bool = False) -> TrainResult:
+    def fit(
+        self,
+        data,
+        seed: Optional[int] = None,
+        verbose: bool = False,
+        init_params=None,
+        init_batch_stats=None,
+    ) -> TrainResult:
+        """``init_params``: optional pretrained params (e.g. an imported HF
+        checkpoint, models/hf_import.py) replacing random init — the
+        reference's ``from_pretrained`` flow."""
         tr_x, tr_y, te_x, te_y = data
         tr_x = jnp.asarray(tr_x, jnp.float32)
         te_x = jnp.asarray(te_x, jnp.float32)
@@ -198,6 +208,10 @@ class JitTrainer:
         )
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
+        if init_params is not None:
+            params = jax.tree.map(jnp.asarray, init_params)
+        if init_batch_stats is not None:
+            bstats = jax.tree.map(jnp.asarray, init_batch_stats)
         if self.maxnorm_rules:  # constraints also hold at init (torch hook)
             params = maxnorm_project(params, self.maxnorm_rules)
         opt_state = init_adam_state(params)

@@ -1,0 +1,294 @@
+"""End-to-end per-(subject, modality) task pipelines.
+
+The glue the reference scatters across ``__main__`` blocks
+(`Dataload_{eeg,audio,vision}.py`): ingest -> EAVDataSplit (h_idx=56) ->
+fine-tune -> metrics. Each modality is a task function for
+core/sweep.SweepRunner; per-trial logits are archived per subject so the
+fusion stage (BASELINE config 5) can train on aligned tri-modal scores.
+
+Preprocessed features are cached as .npz per (subject, modality) — the
+reference's pkl-cache pattern (`README.md:92-98`) done properly (versioned
+by config hash, no pickle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from eav_tpu.core import metrics as M
+from eav_tpu.core.config import (
+    AudioPreprocConfig,
+    EEGPreprocConfig,
+    PresetConfig,
+    SplitConfig,
+    VisionPreprocConfig,
+    get_preset,
+)
+from eav_tpu.core.sweep import TaskResult
+from eav_tpu.ingest.split import eav_split
+from eav_tpu.train.loop import JitTrainer
+
+
+def _cfg_hash(cfg) -> str:
+    return hashlib.sha1(json.dumps(asdict(cfg), sort_keys=True, default=str).encode()).hexdigest()[:10]
+
+
+def _cached(cache_dir: Optional[str], key: str, compute: Callable[[], Tuple[np.ndarray, np.ndarray]]):
+    if cache_dir is None:
+        return compute()
+    path = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["x"], z["y"]
+    x, y = compute()
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez(path, x=x, y=y)
+    return x, y
+
+
+def build_model(preset: PresetConfig):
+    """Model + trainer kwargs for a preset's finetune config."""
+    name = preset.finetune.model
+    if name == "eegnet":
+        from eav_tpu.models.eegnet import EEGNet
+
+        model = EEGNet(**preset.finetune.model_kwargs)
+        return model, dict(maxnorm_rules=model.maxnorm_rules)
+    if name == "conformer_eeg":
+        from eav_tpu.models.conformer_eeg import ConformerEEG
+
+        model = ConformerEEG(**preset.finetune.model_kwargs)
+        return model, dict(maxnorm_rules=model.maxnorm_rules)
+    if name == "scnn_audio":
+        from eav_tpu.models.scnn_audio import SCNNAudio
+
+        return SCNNAudio(**preset.finetune.model_kwargs), {}
+    if name == "ast":
+        from eav_tpu.models.ast import AST
+
+        return AST(**preset.finetune.model_kwargs), {}
+    if name == "vit":
+        from eav_tpu.models.vit import ViT
+
+        return ViT(**preset.finetune.model_kwargs), {}
+    if name == "resnet_attn":
+        from eav_tpu.models.resnet_attn import ResNetAttn
+
+        return ResNetAttn(**preset.finetune.model_kwargs), dict(head_regex=ResNetAttn.HEAD_REGEX)
+    if name == "fusion":
+        from eav_tpu.models.fusion import FusionHead
+
+        return FusionHead(**preset.finetune.model_kwargs), {}
+    raise KeyError(f"unknown model {name!r}")
+
+
+def _pretrained_params(model_name: str, num_labels: int):
+    """Optional HF checkpoint import, gated on env-var-pointed local dirs."""
+    env = {"ast": "EAV_TPU_AST_CKPT", "vit": "EAV_TPU_VIT_CKPT"}.get(model_name)
+    if not env:
+        return None
+    path = os.environ.get(env, "")
+    if not path or not os.path.isdir(path):
+        return None
+    from eav_tpu.models import hf_import
+
+    sd = hf_import.load_state_dict_from_dir(path)
+    if model_name == "ast":
+        return hf_import.convert_ast_state_dict(sd, num_labels=num_labels)
+    return hf_import.convert_vit_state_dict(sd, num_labels=num_labels)
+
+
+class ModalityPipelines:
+    """Task-fn factory bound to a data root + cache/logit directories."""
+
+    def __init__(
+        self,
+        data_root: str,
+        cache_dir: Optional[str] = None,
+        logits_dir: Optional[str] = None,
+        presets: Optional[Dict[str, PresetConfig]] = None,
+        seed: int = 0,
+    ):
+        self.data_root = data_root
+        self.cache_dir = cache_dir
+        self.logits_dir = logits_dir
+        self.seed = seed
+        self.presets = presets or {
+            "eeg": get_preset("eegnet_subject"),
+            "audio": get_preset("ast_finetune"),
+            "audio_scnn": get_preset("scnn_audio"),
+            "vision": get_preset("vit_finetune"),
+            "fusion": get_preset("fusion_sweep"),
+        }
+
+    # -- per-modality feature loading -------------------------------------
+
+    def load_eeg(self, subject: int):
+        preset = self.presets["eeg"]
+        cfg = preset.eeg or EEGPreprocConfig()
+
+        def compute():
+            from eav_tpu.ingest.eeg import DataLoadEEG
+
+            return DataLoadEEG(subject, cfg, self.data_root).prepare_data()
+
+        return _cached(self.cache_dir, f"s{subject:02d}_eeg_{_cfg_hash(cfg)}", compute)
+
+    def load_audio(self, subject: int, frontend: str):
+        preset = self.presets["audio" if frontend == "fbank" else "audio_scnn"]
+        cfg = preset.audio or AudioPreprocConfig()
+
+        def compute():
+            from eav_tpu.ingest.audio import DataLoadAudio, ast_frontend, scnn_frontend
+
+            loader = DataLoadAudio(subject, self.data_root, cfg)
+            if frontend == "fbank":
+                segs, y = loader.process(target_sr=cfg.target_sr)
+                return ast_frontend(segs, cfg), y
+            segs, y = loader.process(target_sr=cfg.scnn_sr)
+            return scnn_frontend(segs, cfg), y
+
+        return _cached(
+            self.cache_dir, f"s{subject:02d}_aud_{frontend}_{_cfg_hash(cfg)}", compute
+        )
+
+    def load_vision(self, subject: int):
+        preset = self.presets["vision"]
+        cfg = preset.vision or VisionPreprocConfig()
+
+        def compute():
+            from eav_tpu.ingest.video import DataLoadVision
+
+            return DataLoadVision(subject, self.data_root, cfg).process()
+
+        return _cached(self.cache_dir, f"s{subject:02d}_vis_{_cfg_hash(cfg)}", compute)
+
+    # -- task functions -----------------------------------------------------
+
+    def _save_logits(self, subject: int, modality: str, split: str, logits: np.ndarray):
+        if self.logits_dir is None:
+            return
+        os.makedirs(self.logits_dir, exist_ok=True)
+        np.save(
+            os.path.join(self.logits_dir, f"s{subject:02d}_{modality}_{split}.npy"), logits
+        )
+
+    def _finish(self, subject, modality, preset, trainer, result, te_y, vote_group):
+        logits = result.outputs_test
+        if vote_group:
+            tl, pred = M.trial_vote(logits, vote_group)
+            te_y_trial = np.asarray(te_y).reshape(-1, vote_group)[:, 0]
+            summary = M.classification_summary(te_y_trial, np.asarray(pred), 5)
+            self._save_logits(subject, modality, "test", np.asarray(tl))
+        else:
+            pred = np.argmax(logits, axis=-1)
+            summary = M.classification_summary(np.asarray(te_y), pred, 5)
+            self._save_logits(subject, modality, "test", logits)
+        metrics = {
+            "accuracy": summary["accuracy"],
+            "weighted_f1": summary["weighted_f1"],
+            "final_train_acc": float(result.history["train_acc"][-1]),
+            "epochs": int(len(result.history["test_acc"])),
+        }
+        return TaskResult(metrics=metrics, artifacts={"params": result.params})
+
+    def run_eeg(self, subject: int) -> TaskResult:
+        preset = self.presets["eeg"]
+        x, y = self.load_eeg(subject)
+        data = eav_split(x, y, h_idx=preset.split.h_idx)
+        model, kw = build_model(preset)
+        trainer = JitTrainer(model, preset.finetune, **kw)
+        result = trainer.fit(data, seed=self.seed + subject)
+        self._save_logits(
+            subject, "eeg", "train",
+            trainer.predict(result.params, result.batch_stats, data[0]),
+        )
+        return self._finish(subject, "eeg", preset, trainer, result, data[3], None)
+
+    def run_audio(self, subject: int, frontend: str = "fbank") -> TaskResult:
+        key = "audio" if frontend == "fbank" else "audio_scnn"
+        preset = self.presets[key]
+        x, y = self.load_audio(subject, frontend)
+        data = eav_split(x, y, h_idx=preset.split.h_idx)
+        model, kw = build_model(preset)
+        init_params = _pretrained_params(preset.finetune.model, 5)
+        trainer = JitTrainer(model, preset.finetune, **kw)
+        result = trainer.fit(data, seed=self.seed + subject, init_params=init_params)
+        self._save_logits(
+            subject, key, "train",
+            trainer.predict(result.params, result.batch_stats, data[0]),
+        )
+        return self._finish(subject, key, preset, trainer, result, data[3], None)
+
+    def run_vision(self, subject: int) -> TaskResult:
+        from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
+
+        preset = self.presets["vision"]
+        x, y = self.load_vision(subject)  # (trials, frames, H, W, 3) uint8
+        tr_x, tr_y, te_x, te_y = eav_split(x, y, h_idx=preset.split.h_idx)
+        fps = x.shape[1]
+        tr_f, tr_fy = flatten_trials_to_frames(tr_x, tr_y)
+        te_f, te_fy = flatten_trials_to_frames(te_x, te_y)
+        size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
+        tr_f = preprocess_frames(tr_f, size=size)
+        te_f = preprocess_frames(te_f, size=size)
+        model, kw = build_model(preset)
+        init_params = _pretrained_params(preset.finetune.model, 5)
+        trainer = JitTrainer(model, preset.finetune, **kw)
+        result = trainer.fit((tr_f, tr_fy, te_f, te_fy), seed=self.seed + subject,
+                             init_params=init_params)
+        tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
+        self._save_logits(
+            subject, "vision", "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
+        )
+        return self._finish(subject, "vision", preset, trainer, result, te_fy, fps)
+
+    def run_fusion(self, subject: int) -> TaskResult:
+        """Late fusion over archived per-trial logits (BASELINE config 5)."""
+        preset = self.presets["fusion"]
+        mods = ("eeg", "audio", "vision")
+
+        def load(split):
+            parts = [
+                np.load(os.path.join(self.logits_dir, f"s{subject:02d}_{m}_{split}.npy"))
+                for m in mods
+            ]
+            n = min(len(p) for p in parts)
+            return np.stack([p[:n] for p in parts], axis=1).astype(np.float32)
+
+        tr = load("train")
+        te = load("test")
+        # labels follow eav_split's layout: per-class blocks in class order
+        tr_y = np.repeat(np.arange(5), tr.shape[0] // 5)
+        te_y = np.repeat(np.arange(5), te.shape[0] // 5)
+        model, kw = build_model(preset)
+        trainer = JitTrainer(model, preset.finetune, **kw)
+        result = trainer.fit((tr, tr_y, te, te_y), seed=self.seed + subject)
+        pred = np.argmax(result.outputs_test, axis=-1)
+        summary = M.classification_summary(te_y, pred, 5)
+        return TaskResult(
+            metrics={
+                "accuracy": summary["accuracy"],
+                "weighted_f1": summary["weighted_f1"],
+            },
+            artifacts={"params": result.params},
+        )
+
+    def task_fn(self, subject: int, modality: str) -> TaskResult:
+        if modality == "eeg":
+            return self.run_eeg(subject)
+        if modality == "audio":
+            return self.run_audio(subject, "fbank")
+        if modality == "audio_scnn":
+            return self.run_audio(subject, "scnn180")
+        if modality == "vision":
+            return self.run_vision(subject)
+        if modality == "fusion":
+            return self.run_fusion(subject)
+        raise KeyError(f"unknown modality {modality!r}")

@@ -1,0 +1,82 @@
+"""Sweep runner: journal, resume, retry, metrics aggregation, checkpoints."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eav_tpu.core.checkpoint import load_pytree, save_pytree
+from eav_tpu.core.config import SweepConfig
+from eav_tpu.core.sweep import SweepRunner, TaskResult
+
+
+def _cfg(tmp_path, **kw):
+    defaults = dict(
+        subjects=(1, 2, 3),
+        modalities=("eeg", "audio"),
+        journal_path=str(tmp_path / "journal.jsonl"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_retries=1,
+    )
+    defaults.update(kw)
+    return SweepConfig(**defaults)
+
+
+def test_run_all_and_aggregate(tmp_path):
+    def task(subject, modality):
+        return TaskResult(
+            metrics={"accuracy": 0.3 + 0.1 * subject, "weighted_f1": 0.25 + 0.1 * subject}
+        )
+
+    runner = SweepRunner(_cfg(tmp_path), task)
+    state = runner.run(verbose=False)
+    assert len(state) == 6 and all(r["status"] == "done" for r in state.values())
+    agg = runner.aggregate()
+    assert agg["eeg"]["n_subjects"] == 3
+    assert agg["eeg"]["mean_accuracy"] == pytest.approx(0.5)
+    assert runner.pending_tasks() == []
+
+
+def test_resume_skips_done_and_retries_failed(tmp_path):
+    calls = []
+
+    def flaky(subject, modality):
+        calls.append((subject, modality))
+        if subject == 2 and len([c for c in calls if c == (2, modality)]) == 1:
+            raise RuntimeError("boom")
+        return TaskResult(metrics={"accuracy": 0.4})
+
+    cfg = _cfg(tmp_path, modalities=("eeg",))
+    runner = SweepRunner(cfg, flaky)
+    state = runner.run(verbose=False)
+    assert state["subject02_eeg"]["status"] == "failed"
+    assert "boom" in state["subject02_eeg"]["error"]
+    # resume: only the failed task re-runs, succeeds this time
+    state = SweepRunner(cfg, flaky).run(verbose=False)
+    assert state["subject02_eeg"]["status"] == "done"
+    assert calls.count((1, "eeg")) == 1  # done tasks never re-ran
+    # exhausted retries are not retried again
+    assert SweepRunner(cfg, flaky).pending_tasks() == []
+
+
+def test_checkpoint_artifacts(tmp_path):
+    params = {"dense": {"kernel": np.arange(6.0).reshape(2, 3)}}
+
+    def task(subject, modality):
+        return TaskResult(metrics={"accuracy": 0.5}, artifacts=params)
+
+    cfg = _cfg(tmp_path, subjects=(1,), modalities=("eeg",))
+    SweepRunner(cfg, task).run(verbose=False)
+    restored = load_pytree(os.path.join(cfg.checkpoint_dir, "subject01_eeg"))
+    np.testing.assert_array_equal(restored["dense"]["kernel"], params["dense"]["kernel"])
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {"a": {"b": np.ones((3, 2), np.float32)}, "c": np.int32(7)}
+    p = str(tmp_path / "t")
+    save_pytree(p, tree)
+    back = load_pytree(p)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    assert int(np.asarray(back["c"])) == 7
