@@ -68,11 +68,24 @@ class DataLoadAudio:
         files, emotions = self.data_files()
         segs, labels = [], []
         # group by original sample rate so each group resamples in one
-        # batched device call
+        # batched device call; native threaded decode when built
         by_sr: dict = {}
-        for f, e in zip(files, emotions):
-            wave, sr = read_wav(f)
-            by_sr.setdefault(sr, []).append((wave[0], e))
+        from eav_tpu.ingest import native
+
+        if native.available() and files:
+            pf = native.WavPrefetcher(n_threads=4)
+            for f in files:
+                pf.submit(f)
+            decoded = {path: (wave, sr) for path, wave, sr in pf}
+            pf.close()
+            # deterministic dataset order regardless of completion order
+            for f, e in zip(files, emotions):
+                wave, sr = decoded[f]
+                by_sr.setdefault(sr, []).append((wave[0], e))
+        else:
+            for f, e in zip(files, emotions):
+                wave, sr = read_wav(f)
+                by_sr.setdefault(sr, []).append((wave[0], e))
         seg_len = int(round(self.cfg.segment_seconds * target_sr))
         for sr, items in by_sr.items():
             waves = [w for w, _ in items]

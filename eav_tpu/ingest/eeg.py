@@ -122,12 +122,20 @@ class DataLoadEEG:
 
     def load_mat(self) -> Tuple[np.ndarray, np.ndarray]:
         eeg_path, label_path = self._paths()
-        mat = mat5.loadmat(eeg_path)
-        # some subjects store the signal under 'seg1' (`Dataload_eeg.py:71-74`)
-        cnt = mat.get("seg1", mat.get("seg"))
-        if cnt is None:
-            raise KeyError(f"{eeg_path}: no 'seg'/'seg1' variable")
-        label = mat5.loadmat(label_path)["label"]
+        from eav_tpu.ingest import native
+
+        if native.available():
+            try:  # some subjects store the signal under 'seg1' (`:71-74`)
+                cnt = native.read_mat_var(eeg_path, "seg1")
+            except IOError:
+                cnt = native.read_mat_var(eeg_path, "seg")
+            label = native.read_mat_var(label_path, "label")
+        else:
+            mat = mat5.loadmat(eeg_path)
+            cnt = mat.get("seg1", mat.get("seg"))
+            if cnt is None:
+                raise KeyError(f"{eeg_path}: no 'seg'/'seg1' variable")
+            label = mat5.loadmat(label_path)["label"]
         # (t, ch, tri) -> (ch, t, tri)  (`Dataload_eeg.py:82`)
         return np.transpose(cnt, (1, 0, 2)), label
 

@@ -1,0 +1,179 @@
+"""ctypes bindings for the native ingest library (ingest/cpp/eav_ingest.cc).
+
+Loads ``libeav_ingest.so`` if present (``make -C eav_tpu/ingest/cpp``; the
+build is attempted once automatically), else ``available()`` is False and
+callers fall back to the pure-python readers (ingest/mat5.py, ingest/wav.py),
+which double as the correctness oracle in tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "cpp")
+_SO = os.path.join(_DIR, "libeav_ingest.so")
+_lib = None
+_tried_build = False
+
+
+def _load():
+    global _lib, _tried_build
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) and not _tried_build:
+        _tried_build = True
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.eav_last_error.restype = ctypes.c_char_p
+    lib.eav_read_wav.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.eav_read_mat_var.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.eav_free.argtypes = [ctypes.c_void_p]
+    lib.eav_prefetch_create.restype = ctypes.c_void_p
+    lib.eav_prefetch_create.argtypes = [ctypes.c_int]
+    lib.eav_prefetch_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.eav_prefetch_pop.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.eav_prefetch_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _last_error(lib) -> str:
+    return lib.eav_last_error().decode()
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Native WAV decode: (channels, samples) float32 + sample rate."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library not built")
+    data = ctypes.POINTER(ctypes.c_float)()
+    channels = ctypes.c_int()
+    samples = ctypes.c_long()
+    rate = ctypes.c_int()
+    rc = lib.eav_read_wav(
+        path.encode(), ctypes.byref(data), ctypes.byref(channels),
+        ctypes.byref(samples), ctypes.byref(rate),
+    )
+    if rc != 0:
+        raise IOError(_last_error(lib))
+    n = channels.value * samples.value
+    out = np.ctypeslib.as_array(data, shape=(n,)).reshape(
+        channels.value, samples.value
+    ).copy()
+    lib.eav_free(data)
+    return out, rate.value
+
+
+def read_mat_var(path: str, name: str) -> np.ndarray:
+    """Native .mat numeric variable read -> float64 array (MATLAB shape)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library not built")
+    data = ctypes.POINTER(ctypes.c_double)()
+    dims = ctypes.POINTER(ctypes.c_int64)()
+    ndims = ctypes.c_int()
+    rc = lib.eav_read_mat_var(
+        path.encode(), name.encode(), ctypes.byref(data), ctypes.byref(dims),
+        ctypes.byref(ndims),
+    )
+    if rc != 0:
+        raise IOError(_last_error(lib))
+    shape = tuple(dims[i] for i in range(ndims.value))
+    total = int(np.prod(shape))
+    flat = np.ctypeslib.as_array(data, shape=(total,)).copy()
+    lib.eav_free(data)
+    lib.eav_free(dims)
+    return flat.reshape(shape, order="F")
+
+
+class WavPrefetcher:
+    """Threaded native decode queue: submit paths, iterate results in
+    completion order while the device computes."""
+
+    def __init__(self, n_threads: int = 4):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native ingest library not built")
+        self._q = self._lib.eav_prefetch_create(n_threads)
+        self._pending = 0
+
+    def submit(self, path: str) -> None:
+        self._lib.eav_prefetch_submit(self._q, path.encode())
+        self._pending += 1
+
+    def pop(self) -> Tuple[str, np.ndarray, int]:
+        if self._pending <= 0:
+            raise RuntimeError("no pending jobs")
+        buf = ctypes.create_string_buffer(4096)
+        data = ctypes.POINTER(ctypes.c_float)()
+        channels = ctypes.c_int()
+        samples = ctypes.c_long()
+        rate = ctypes.c_int()
+        rc = self._lib.eav_prefetch_pop(
+            self._q, buf, 4096, ctypes.byref(data), ctypes.byref(channels),
+            ctypes.byref(samples), ctypes.byref(rate),
+        )
+        self._pending -= 1
+        path = buf.value.decode()
+        if rc != 0:
+            raise IOError(f"{path}: {_last_error(self._lib)}")
+        n = channels.value * samples.value
+        out = np.ctypeslib.as_array(data, shape=(n,)).reshape(
+            channels.value, samples.value
+        ).copy()
+        self._lib.eav_free(data)
+        return path, out, rate.value
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray, int]]:
+        while self._pending > 0:
+            yield self.pop()
+
+    def close(self) -> None:
+        if self._q is not None:
+            self._lib.eav_prefetch_destroy(self._q)
+            self._q = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
