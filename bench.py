@@ -138,7 +138,64 @@ def bench_torch_cpu(epochs: int = 2) -> float:
     return n * epochs / dt
 
 
+def bench_ast_tpu(steps: int = 20, batch: int = 8) -> float:
+    """Flagship AST-base fine-tune step throughput (bs=8, unfrozen phase —
+    the hot loop of `Transformer_Audio.py:67-82`)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from eav_tpu.core.optim import adam_update, init_adam_state, trainable_mask
+    from eav_tpu.models.ast import AST
+    from eav_tpu.train.loop import cross_entropy
+
+    rng = np.random.default_rng(0)
+    model = AST()
+    x = jnp.asarray(rng.normal(size=(batch, 1024, 128)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 5, size=(batch,)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    params = variables["params"]
+    opt = init_adam_state(params)
+    mask = trainable_mask(params, freeze=False)
+
+    @jax.jit
+    def step(params, opt, x, y):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, train=False)
+            return cross_entropy(logits, y, jnp.ones_like(y, jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt = adam_update(grads, opt, params, lr=5e-6, trainable_mask=mask, weight_decay=0.01)
+        return loss, params, opt
+
+    loss, params, opt = step(params, opt, x, y)
+    np.asarray(loss)  # fence (block_until_ready is unreliable on this platform)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss, params, opt = step(params, opt, x, y)
+    np.asarray(loss)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
 def main():
+    import sys
+
+    if "--flagship" in sys.argv:
+        ast_sps = bench_ast_tpu()
+        print(
+            json.dumps(
+                {
+                    "metric": "ast_finetune_samples_per_sec",
+                    "value": round(ast_sps, 2),
+                    "unit": "samples/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
     tpu_sps = bench_tpu()
     torch_sps = bench_torch_cpu()
     print(

@@ -98,14 +98,16 @@ class JitTrainer:
         vmap-over-subjects composition (parallel/subject.py)."""
         return self._build_phase(mask, epochs, n_train, n_test, jit=False)
 
-    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int, jit: bool = True):
+    def _phase_pieces(self, mask, n_train: int, n_test: int):
+        """Shared building blocks: (train_step, eval_logits, batching dims).
+        Both phase implementations compose these identically, so they are
+        bit-for-bit equivalent (same RNG split order, same padded batching)."""
         cfg = self.cfg
         bs = min(cfg.batch_size, n_train)
         steps = -(-n_train // bs)
         pad = steps * bs - n_train
         eval_bs = min(cfg.eval_batch_size or bs, n_test)
         eval_steps = -(-n_test // eval_bs)
-        eval_pad = eval_steps * eval_bs - n_test
 
         def eval_logits(params, bstats, te_x):
             idx = jnp.arange(eval_steps * eval_bs)
@@ -117,44 +119,57 @@ class JitTrainer:
             _, logits = jax.lax.scan(body, None, idx)
             return logits.reshape(eval_steps * eval_bs, -1)[:n_test]
 
+        def train_step(carry, idx, tr_x, tr_y, lr):
+            params, bstats, opt_state, rng = carry
+            rng, kd = jax.random.split(rng)
+            w = (idx < n_train).astype(jnp.float32)
+            ix = jnp.minimum(idx, n_train - 1)
+            bx, by = tr_x[ix], tr_y[ix]
+
+            def loss_fn(p):
+                logits, new_bstats = self._apply_train(p, bstats, bx, kd)
+                loss = cross_entropy(logits, by, w, cfg.compat_softmax)
+                return loss, (new_bstats, logits)
+
+            (loss, (bstats_new, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            params, opt_state = adam_update(
+                grads,
+                opt_state,
+                params,
+                lr=lr,
+                trainable_mask=mask,
+                weight_decay=cfg.weight_decay if cfg.optimizer == "adamw" else 0.0,
+            )
+            if self.maxnorm_rules:
+                params = maxnorm_project(params, self.maxnorm_rules)
+            correct = ((jnp.argmax(logits, -1) == by) * w).sum()
+            return (params, bstats_new, opt_state, rng), (loss, correct)
+
+        def epoch_perm(rng_key):
+            perm = jax.random.permutation(rng_key, n_train)
+            return jnp.concatenate(
+                [perm, jnp.full((pad,), n_train, perm.dtype)]
+            ).reshape(steps, bs)
+
+        return train_step, eval_logits, epoch_perm
+
+    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int, jit: bool = True):
+        """The fused phase program: lax.scan over epochs around lax.scan over
+        steps — ONE device program per phase (the TPU path)."""
+        train_step, eval_logits, epoch_perm = self._phase_pieces(mask, n_train, n_test)
+
         def phase(params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr):
-            def train_step(carry, idx):
-                params, bstats, opt_state, rng = carry
-                rng, kd = jax.random.split(rng)
-                w = (idx < n_train).astype(jnp.float32)
-                ix = jnp.minimum(idx, n_train - 1)
-                bx, by = tr_x[ix], tr_y[ix]
-
-                def loss_fn(p):
-                    logits, new_bstats = self._apply_train(p, bstats, bx, kd)
-                    loss = cross_entropy(logits, by, w, cfg.compat_softmax)
-                    return loss, (new_bstats, logits)
-
-                (loss, (bstats_new, logits)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params)
-                params, opt_state = adam_update(
-                    grads,
-                    opt_state,
-                    params,
-                    lr=lr,
-                    trainable_mask=mask,
-                    weight_decay=cfg.weight_decay if cfg.optimizer == "adamw" else 0.0,
-                )
-                if self.maxnorm_rules:
-                    params = maxnorm_project(params, self.maxnorm_rules)
-                correct = ((jnp.argmax(logits, -1) == by) * w).sum()
-                return (params, bstats_new, opt_state, rng), (loss, correct)
+            def step_body(carry, idx):
+                return train_step(carry, idx, tr_x, tr_y, lr)
 
             def epoch_body(carry, _):
                 params, bstats, opt_state, rng = carry
                 rng, kp = jax.random.split(rng)
-                perm = jax.random.permutation(kp, n_train)
-                perm = jnp.concatenate(
-                    [perm, jnp.full((pad,), n_train, perm.dtype)]
-                ).reshape(steps, bs)
+                perm = epoch_perm(kp)
                 carry2, (losses, corrects) = jax.lax.scan(
-                    train_step, (params, bstats, opt_state, rng), perm
+                    step_body, (params, bstats, opt_state, rng), perm
                 )
                 params, bstats, opt_state, rng = carry2
                 train_acc = corrects.sum() / n_train
@@ -172,6 +187,42 @@ class JitTrainer:
         if not jit:
             return phase
         return jax.jit(phase, donate_argnums=(0, 2))
+
+    def _run_phase_python(
+        self, mask, epochs, params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr
+    ):
+        """Host-loop phase driver, numerically identical to the scan program.
+
+        XLA:CPU compiles convolutions inside while-loop bodies to a slow
+        generic path (>100x on this host), so on the CPU backend each step is
+        its own jitted call; TPU always uses the fused scan program."""
+        n_train, n_test = int(tr_x.shape[0]), int(te_x.shape[0])
+        train_step, eval_logits, epoch_perm = self._phase_pieces(mask, n_train, n_test)
+        step_jit = jax.jit(train_step, donate_argnums=(0,))
+        eval_jit = jax.jit(eval_logits)
+        carry = (params, bstats, opt_state, rng)
+        loss_h, tr_h, te_h = [], [], []
+        for _ in range(epochs):
+            params, bstats, opt_state, rng = carry
+            rng, kp = jax.random.split(rng)
+            perm = epoch_perm(kp)
+            carry = (params, bstats, opt_state, rng)
+            losses, corrects = [], []
+            for s in range(perm.shape[0]):
+                carry, (l, c) = step_jit(carry, perm[s], tr_x, tr_y, lr)
+                losses.append(l)
+                corrects.append(c)
+            params, bstats, opt_state, rng = carry
+            loss_h.append(jnp.stack(losses).mean())
+            tr_h.append(jnp.stack(corrects).sum() / n_train)
+            te_pred = jnp.argmax(eval_jit(params, bstats, te_x), -1)
+            te_h.append((te_pred == te_y).mean())
+        logits = eval_jit(params, bstats, te_x)
+        return (
+            params, bstats, opt_state, rng,
+            (jnp.stack(loss_h), jnp.stack(tr_h), jnp.stack(te_h)),
+            logits,
+        )
 
     # -- public API --------------------------------------------------------
 
@@ -218,15 +269,24 @@ class JitTrainer:
 
         hist_loss, hist_tr, hist_te = [], [], []
         outputs_test = None
+        use_python_loop = jax.default_backend() == "cpu"
         for phase_cfg in self.cfg.phases:
             mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
-            phase_fn = self._build_phase(
-                mask, phase_cfg.epochs, int(tr_x.shape[0]), int(te_x.shape[0])
-            )
-            params, bstats, opt_state, rng, (lh, trh, teh), logits = phase_fn(
-                params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y,
-                jnp.asarray(phase_cfg.lr, jnp.float32),
-            )
+            lr = jnp.asarray(phase_cfg.lr, jnp.float32)
+            if use_python_loop:
+                params, bstats, opt_state, rng, (lh, trh, teh), logits = (
+                    self._run_phase_python(
+                        mask, phase_cfg.epochs, params, bstats, opt_state, rng,
+                        tr_x, tr_y, te_x, te_y, lr,
+                    )
+                )
+            else:
+                phase_fn = self._build_phase(
+                    mask, phase_cfg.epochs, int(tr_x.shape[0]), int(te_x.shape[0])
+                )
+                params, bstats, opt_state, rng, (lh, trh, teh), logits = phase_fn(
+                    params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
+                )
             hist_loss.append(np.asarray(lh))
             hist_tr.append(np.asarray(trh))
             hist_te.append(np.asarray(teh))

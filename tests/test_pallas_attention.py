@@ -1,0 +1,49 @@
+"""Flash attention kernel vs the einsum reference (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eav_tpu.ops.pallas.attention import _reference_attention, flash_attention
+
+
+@pytest.mark.parametrize("t", [128, 197, 300])
+def test_flash_matches_reference(rng, t):
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    ref = np.asarray(_reference_attention(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match(rng):
+    b, t, h, d = 1, 130, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
+
+
+def test_ast_with_flash_attention_matches_xla(rng):
+    from eav_tpu.models.ast import ast_tiny
+
+    x = rng.normal(size=(2, 128, 128)).astype(np.float32)
+    m_xla = ast_tiny()
+    m_flash = ast_tiny(attn_impl="flash")
+    v = m_xla.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    out_xla = np.asarray(m_xla.apply(v, jnp.asarray(x), train=False))
+    out_flash = np.asarray(m_flash.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out_flash, out_xla, rtol=2e-4, atol=2e-4)
