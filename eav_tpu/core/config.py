@@ -63,6 +63,11 @@ class EEGPreprocConfig:
     trial_seconds: float = 20.0
     chunk_seconds: float = 5.0
     selected_classes: Tuple[int, ...] = EEG_SELECTED_CLASSES
+    # The Keras notebook pipeline filters at the ORIGINAL rate before
+    # downsampling (`CNN_EEG_tf.py` commented block / `EEG_nb.ipynb` cell4,
+    # band [3, 50]), the torch pipeline downsamples first
+    # (`Dataload_eeg.py:156-158`) — SURVEY.md C8 order discrepancy.
+    filter_before_downsample: bool = False
 
     @property
     def chunks_per_trial(self) -> int:
@@ -158,6 +163,9 @@ class FinetuneConfig:
     # jit the whole (epoch x batch) schedule with lax control flow.
     donate: bool = True
     compat_softmax: bool = False  # replicate reference double-softmax quirk
+    # keep per-epoch test logits (the reference's ActivationSaver pattern,
+    # `CNN_audio.py:48-72`, dumps val logits every epoch)
+    keep_epoch_logits: bool = False
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

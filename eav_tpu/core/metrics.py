@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,3 +69,18 @@ def trial_vote(logits, group: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     trials = n // group
     tl = logits[: trials * group].reshape(trials, group, c).mean(axis=1)
     return tl, jnp.argmax(tl, axis=-1)
+
+
+def trial_majority_vote(logits, group: int, num_classes: int) -> jnp.ndarray:
+    """Per-trial majority vote over per-frame argmax predictions — the Keras
+    video notebook's aggregation (`scipy.stats.mode` over frame blocks, C15
+    cell0:168-177). Ties resolve to the smallest class index, matching scipy.
+
+    Returns (trials,) predictions."""
+    logits = jnp.asarray(logits)
+    n, _ = logits.shape
+    trials = n // group
+    frame_pred = jnp.argmax(logits[: trials * group], axis=-1).reshape(trials, group)
+    onehot = jax.nn.one_hot(frame_pred, num_classes, dtype=jnp.int32)
+    counts = onehot.sum(axis=1)
+    return jnp.argmax(counts, axis=-1)  # argmax takes first max == smallest class

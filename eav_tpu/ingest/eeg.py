@@ -67,16 +67,26 @@ def preprocess_eeg(
     seg: jnp.ndarray, cfg: EEGPreprocConfig = EEGPreprocConfig()
 ) -> jnp.ndarray:
     """Fused downsample + bandpass + chunk. ``seg``: (ch, t_orig, trials)
-    continuous 500 Hz data. Returns (ch, samples_per_chunk, trials*chunks)."""
+    continuous 500 Hz data. Returns (ch, samples_per_chunk, trials*chunks).
+
+    ``cfg.filter_before_downsample`` selects the Keras-notebook ordering
+    (bandpass at fs_orig, then resample — C8/C16) instead of the torch
+    pipeline's (resample, then bandpass at fs_target)."""
     ch, t, tri = seg.shape
     down = cfg.fs_orig // cfg.fs_target
     flat = flatten_trials(seg)
-    flat = resample_poly(flat, up=1, down=down)
-    x = unflatten_trials(flat, t // down)
-    # The reference re-flattens for the bandpass (`Dataload_eeg.py:110`);
-    # since flatten/unflatten round-trip exactly, filter the flat stream.
-    flat = flatten_trials(x)
-    flat = bandpass_sos(flat, cfg.band[0], cfg.band[1], float(cfg.fs_target), cfg.butter_order)
+    if cfg.filter_before_downsample:
+        flat = bandpass_sos(
+            flat, cfg.band[0], cfg.band[1], float(cfg.fs_orig), cfg.butter_order
+        )
+        flat = resample_poly(flat, up=1, down=down)
+    else:
+        flat = resample_poly(flat, up=1, down=down)
+        # The reference re-flattens for the bandpass (`Dataload_eeg.py:110`);
+        # flatten/unflatten round-trip exactly, so filter the flat stream.
+        flat = bandpass_sos(
+            flat, cfg.band[0], cfg.band[1], float(cfg.fs_target), cfg.butter_order
+        )
     x = unflatten_trials(flat, t // down)
     return chunk_trials(x, cfg.samples_per_chunk)
 

@@ -37,6 +37,10 @@ class EEGNet(nn.Module):
     d: int = 8
     f2: int = 64
     norm_rate: float = 1.0
+    # the Keras EEGNet uses max_norm(0.25) on the dense layer and
+    # max_norm(1.0) on the depthwise conv (`CNN_EEG_tf.py:39-41,56-57`);
+    # the torch variant uses norm_rate for both. None = norm_rate.
+    norm_rate_dense: float | None = None
     separable_mode: str = "single"  # 'single' (EEGNet_tor) | 'true' (CNN_EEG)
 
     @nn.compact
@@ -99,7 +103,8 @@ class EEGNet(nn.Module):
     def maxnorm_rules(self) -> Tuple[Tuple[str, float, Tuple[int, ...]], ...]:
         """torch renorm dim=0 == per-output-channel norm: flax conv kernels
         are (kh, kw, in, out) -> axes (0,1,2); dense (in, out) -> axes (0,)."""
+        dense_norm = self.norm_rate if self.norm_rate_dense is None else self.norm_rate_dense
         return (
             (r"conv_depthwise/kernel", self.norm_rate, (0, 1, 2)),
-            (r"head/kernel", self.norm_rate, (0,)),
+            (r"head/kernel", dense_norm, (0,)),
         )

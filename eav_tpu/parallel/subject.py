@@ -97,7 +97,7 @@ class SubjectParallelTrainer:
                 jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
                 donate_argnums=(0, 2),
             )
-            params, bstats, opt_state, rngs, (lh, trh, teh), logits = vphase(
+            params, bstats, opt_state, rngs, (lh, trh, teh, _el), logits = vphase(
                 params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y,
                 jnp.asarray(phase_cfg.lr, jnp.float32),
             )

@@ -43,6 +43,9 @@ class TrainResult(NamedTuple):
     batch_stats: Any
     history: Dict[str, np.ndarray]  # per-epoch train/test accuracy, loss
     outputs_test: np.ndarray  # (n_test, num_classes) final-phase logits
+    # per-epoch test logits when cfg.keep_epoch_logits (the reference's
+    # ActivationSaver pattern, `CNN_audio.py:48-72`)
+    epoch_logits: Optional[np.ndarray] = None
 
 
 def cross_entropy(logits, labels, weights, compat_softmax: bool = False):
@@ -164,6 +167,8 @@ class JitTrainer:
             def step_body(carry, idx):
                 return train_step(carry, idx, tr_x, tr_y, lr)
 
+            keep = self.cfg.keep_epoch_logits
+
             def epoch_body(carry, _):
                 params, bstats, opt_state, rng = carry
                 rng, kp = jax.random.split(rng)
@@ -173,16 +178,21 @@ class JitTrainer:
                 )
                 params, bstats, opt_state, rng = carry2
                 train_acc = corrects.sum() / n_train
-                te_pred = jnp.argmax(eval_logits(params, bstats, te_x), -1)
-                test_acc = (te_pred == te_y).mean()
-                return carry2, (losses.mean(), train_acc, test_acc)
+                te_logits = eval_logits(params, bstats, te_x)
+                test_acc = (jnp.argmax(te_logits, -1) == te_y).mean()
+                ys = (losses.mean(), train_acc, test_acc)
+                if keep:
+                    ys = ys + (te_logits,)
+                return carry2, ys
 
-            carry, (loss_h, tr_h, te_h) = jax.lax.scan(
+            carry, hist = jax.lax.scan(
                 epoch_body, (params, bstats, opt_state, rng), None, length=epochs
             )
+            loss_h, tr_h, te_h = hist[:3]
+            epoch_logits = hist[3] if keep else None
             params, bstats, opt_state, rng = carry
             logits = eval_logits(params, bstats, te_x)
-            return params, bstats, opt_state, rng, (loss_h, tr_h, te_h), logits
+            return params, bstats, opt_state, rng, (loss_h, tr_h, te_h, epoch_logits), logits
 
         if not jit:
             return phase
@@ -201,7 +211,8 @@ class JitTrainer:
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         eval_jit = jax.jit(eval_logits)
         carry = (params, bstats, opt_state, rng)
-        loss_h, tr_h, te_h = [], [], []
+        loss_h, tr_h, te_h, el_h = [], [], [], []
+        keep = self.cfg.keep_epoch_logits
         for _ in range(epochs):
             params, bstats, opt_state, rng = carry
             rng, kp = jax.random.split(rng)
@@ -215,12 +226,15 @@ class JitTrainer:
             params, bstats, opt_state, rng = carry
             loss_h.append(jnp.stack(losses).mean())
             tr_h.append(jnp.stack(corrects).sum() / n_train)
-            te_pred = jnp.argmax(eval_jit(params, bstats, te_x), -1)
-            te_h.append((te_pred == te_y).mean())
+            te_logits = eval_jit(params, bstats, te_x)
+            te_h.append((jnp.argmax(te_logits, -1) == te_y).mean())
+            if keep:
+                el_h.append(te_logits)
         logits = eval_jit(params, bstats, te_x)
+        epoch_logits = jnp.stack(el_h) if keep else None
         return (
             params, bstats, opt_state, rng,
-            (jnp.stack(loss_h), jnp.stack(tr_h), jnp.stack(te_h)),
+            (jnp.stack(loss_h), jnp.stack(tr_h), jnp.stack(te_h), epoch_logits),
             logits,
         )
 
@@ -267,14 +281,14 @@ class JitTrainer:
             params = maxnorm_project(params, self.maxnorm_rules)
         opt_state = init_adam_state(params)
 
-        hist_loss, hist_tr, hist_te = [], [], []
+        hist_loss, hist_tr, hist_te, hist_el = [], [], [], []
         outputs_test = None
         use_python_loop = jax.default_backend() == "cpu"
         for phase_cfg in self.cfg.phases:
             mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
             if use_python_loop:
-                params, bstats, opt_state, rng, (lh, trh, teh), logits = (
+                params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
                     self._run_phase_python(
                         mask, phase_cfg.epochs, params, bstats, opt_state, rng,
                         tr_x, tr_y, te_x, te_y, lr,
@@ -284,12 +298,14 @@ class JitTrainer:
                 phase_fn = self._build_phase(
                     mask, phase_cfg.epochs, int(tr_x.shape[0]), int(te_x.shape[0])
                 )
-                params, bstats, opt_state, rng, (lh, trh, teh), logits = phase_fn(
+                params, bstats, opt_state, rng, (lh, trh, teh, el), logits = phase_fn(
                     params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
                 )
             hist_loss.append(np.asarray(lh))
             hist_tr.append(np.asarray(trh))
             hist_te.append(np.asarray(teh))
+            if el is not None:
+                hist_el.append(np.asarray(el))
             outputs_test = np.asarray(logits)
             if verbose:
                 print(
@@ -301,4 +317,5 @@ class JitTrainer:
             "train_acc": np.concatenate(hist_tr),
             "test_acc": np.concatenate(hist_te),
         }
-        return TrainResult(params, bstats, history, outputs_test)
+        epoch_logits = np.concatenate(hist_el) if hist_el else None
+        return TrainResult(params, bstats, history, outputs_test, epoch_logits)
