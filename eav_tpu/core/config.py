@@ -166,6 +166,10 @@ class FinetuneConfig:
     # keep per-epoch test logits (the reference's ActivationSaver pattern,
     # `CNN_audio.py:48-72`, dumps val logits every epoch)
     keep_epoch_logits: bool = False
+    # L1/L2 penalties on kernel params (the Keras SCNN's l1_l2 regularizers,
+    # notebook C14 cell0:189-209)
+    l1_reg: float = 0.0
+    l2_reg: float = 0.0
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

@@ -132,6 +132,15 @@ class JitTrainer:
             def loss_fn(p):
                 logits, new_bstats = self._apply_train(p, bstats, bx, kd)
                 loss = cross_entropy(logits, by, w, cfg.compat_softmax)
+                if cfg.l1_reg or cfg.l2_reg:  # Keras l1_l2 (notebook C14)
+                    kernels = [
+                        v for path, v in jax.tree_util.tree_flatten_with_path(p)[0]
+                        if "kernel" in str(path[-1])
+                    ]
+                    if cfg.l1_reg:
+                        loss = loss + cfg.l1_reg * sum(jnp.abs(k).sum() for k in kernels)
+                    if cfg.l2_reg:
+                        loss = loss + cfg.l2_reg * sum((k * k).sum() for k in kernels)
                 return loss, (new_bstats, logits)
 
             (loss, (bstats_new, logits)), grads = jax.value_and_grad(
@@ -256,15 +265,27 @@ class JitTrainer:
         verbose: bool = False,
         init_params=None,
         init_batch_stats=None,
+        mesh=None,
     ) -> TrainResult:
         """``init_params``: optional pretrained params (e.g. an imported HF
         checkpoint, models/hf_import.py) replacing random init — the
-        reference's ``from_pretrained`` flow."""
+        reference's ``from_pretrained`` flow.
+
+        ``mesh``: optional Mesh with a ``data`` axis — the split is placed
+        batch-sharded across it (data parallelism; XLA inserts the gradient
+        reduction), the TPU-native replacement for the reference's
+        ``nn.DataParallel`` (`Transformer_Audio.py:59-60`)."""
         tr_x, tr_y, te_x, te_y = data
         tr_x = jnp.asarray(tr_x, jnp.float32)
         te_x = jnp.asarray(te_x, jnp.float32)
         tr_y = jnp.asarray(np.asarray(tr_y).reshape(-1), jnp.int32)
         te_y = jnp.asarray(np.asarray(te_y).reshape(-1), jnp.int32)
+        if mesh is not None:
+            from eav_tpu.parallel.mesh import DATA_AXIS, put_sharded
+
+            tr_x, tr_y, te_x, te_y = (
+                put_sharded(a, mesh, DATA_AXIS) for a in (tr_x, tr_y, te_x, te_y)
+            )
 
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         rng, k_init = jax.random.split(rng)

@@ -72,3 +72,26 @@ def test_subject_parallel_matches_serial(rng):
     np.testing.assert_allclose(
         stacked.outputs_test[3], serial.outputs_test, rtol=2e-4, atol=2e-4
     )
+
+
+def test_jittrainer_with_dp_mesh_matches_unsharded(rng):
+    """Batch-DP via the mesh arg must give the same result as unsharded."""
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+
+    x = rng.normal(size=(32, 4, 64)).astype(np.float32)
+    y = rng.integers(0, 5, 32).astype(np.int32)
+    te_x = rng.normal(size=(16, 4, 64)).astype(np.float32)
+    te_y = rng.integers(0, 5, 16).astype(np.int32)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=8, optimizer="adam", weight_decay=0.0,
+        phases=(PhaseConfig(epochs=2, lr=1e-3, freeze=False),),
+    )
+    model = EEGNet(chans=4, samples=64, kern_length=8, dropout_rate=0.0)
+    jt = JitTrainer(model, cfg, maxnorm_rules=model.maxnorm_rules)
+    plain = jt.fit((x, y, te_x, te_y), seed=0)
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    sharded = jt.fit((x, y, te_x, te_y), seed=0, mesh=mesh)
+    np.testing.assert_allclose(
+        sharded.outputs_test, plain.outputs_test, rtol=2e-4, atol=2e-4
+    )
