@@ -60,6 +60,10 @@ def cmd_run(args) -> int:
         max_retries=args.max_retries,
     )
     runner = SweepRunner(cfg, pipelines.task_fn)
+    if args.subject_parallel > 1 and "eeg" in cfg.modalities:
+        runner.run_batched(
+            "eeg", pipelines.run_eeg_stacked, group_size=args.subject_parallel
+        )
     runner.run(verbose=True)
     print(json.dumps(runner.aggregate(), indent=2))
     return 0
@@ -92,6 +96,10 @@ def main(argv=None) -> int:
     run.add_argument("--checkpoint", action="store_true")
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--max-retries", type=int, default=1)
+    run.add_argument(
+        "--subject-parallel", type=int, default=1,
+        help="run N subjects' EEG fine-tunes as one sharded program",
+    )
     run.set_defaults(fn=cmd_run)
 
     agg = sub.add_parser("aggregate")

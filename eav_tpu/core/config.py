@@ -159,6 +159,9 @@ class FinetuneConfig:
     # (reference `Transformer_Vision.py:170-188`): mean logits over this many
     # consecutive test rows before argmax. None = per-sample scoring.
     vote_group: Optional[int] = None
+    # 'mean' = mean-logit vote (`Transformer_Vision.py:178-180`);
+    # 'majority' = per-frame argmax + mode (Keras video notebook C15).
+    vote_mode: str = "mean"
     seed: int = 0
     # jit the whole (epoch x batch) schedule with lax control flow.
     donate: bool = True

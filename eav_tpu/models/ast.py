@@ -41,6 +41,7 @@ class AST(nn.Module):
     eps: float = 1e-12
     dropout: float = 0.0
     attn_impl: str = "xla"
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
 
     @property
     def num_patches(self) -> int:
@@ -78,7 +79,7 @@ class AST(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         x = TransformerEncoder(
             self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
-            self.dropout, self.attn_impl, name="encoder",
+            self.dropout, self.attn_impl, self.compute_dtype, name="encoder",
         )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
         pooled = (x[:, 0] + x[:, 1]) / 2.0

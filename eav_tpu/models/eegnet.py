@@ -42,6 +42,7 @@ class EEGNet(nn.Module):
     # the torch variant uses norm_rate for both. None = norm_rate.
     norm_rate_dense: float | None = None
     separable_mode: str = "single"  # 'single' (EEGNet_tor) | 'true' (CNN_EEG)
+    compute_dtype: object = None  # e.g. jnp.bfloat16; params and BN stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -51,6 +52,7 @@ class EEGNet(nn.Module):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
+        dt = self.compute_dtype
         # Block 1: temporal conv (1, kernLength), same padding, no bias
         x = nn.Conv(
             self.f1,
@@ -58,6 +60,7 @@ class EEGNet(nn.Module):
             padding="SAME",
             use_bias=False,
             name="conv_temporal",
+            dtype=dt,
         )(x)
         x = bn("bn_temporal")(x)
         x = nn.elu(x)
@@ -69,6 +72,7 @@ class EEGNet(nn.Module):
             feature_group_count=self.f1,
             use_bias=False,
             name="conv_depthwise",
+            dtype=dt,
         )(x)
         x = bn("bn_depthwise")(x)
         x = nn.elu(x)
@@ -83,13 +87,16 @@ class EEGNet(nn.Module):
                 feature_group_count=self.f1 * self.d,
                 use_bias=False,
                 name="conv_sep_depthwise",
+                dtype=dt,
             )(x)
             x = nn.Conv(
-                self.f2, (1, 1), padding="SAME", use_bias=False, name="conv_sep_pointwise"
+                self.f2, (1, 1), padding="SAME", use_bias=False,
+                name="conv_sep_pointwise", dtype=dt,
             )(x)
         else:
             x = nn.Conv(
-                self.f2, (1, 16), padding="SAME", use_bias=False, name="conv_separable"
+                self.f2, (1, 16), padding="SAME", use_bias=False,
+                name="conv_separable", dtype=dt,
             )(x)
         x = bn("bn_separable")(x)
         x = nn.elu(x)
@@ -97,7 +104,7 @@ class EEGNet(nn.Module):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))
         # 64 * (500 // 4 // 8) = 960 features (`EEGNet_tor.py:43`)
-        return nn.Dense(self.nb_classes, name="head")(x)
+        return nn.Dense(self.nb_classes, name="head")(x.astype(jnp.float32))
 
     @property
     def maxnorm_rules(self) -> Tuple[Tuple[str, float, Tuple[int, ...]], ...]:

@@ -28,14 +28,15 @@ class MultiHeadSelfAttention(nn.Module):
     hidden: int
     heads: int
     attn_impl: str = "xla"
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, t, h = x.shape
         d = self.hidden // self.heads
-        q = nn.Dense(self.hidden, name="query")(x)
-        k = nn.Dense(self.hidden, name="key")(x)
-        v = nn.Dense(self.hidden, name="value")(x)
+        q = nn.Dense(self.hidden, name="query", dtype=self.dtype)(x)
+        k = nn.Dense(self.hidden, name="key", dtype=self.dtype)(x)
+        v = nn.Dense(self.hidden, name="value", dtype=self.dtype)(x)
         q = q.reshape(b, t, self.heads, d)
         k = k.reshape(b, t, self.heads, d)
         v = v.reshape(b, t, self.heads, d)
@@ -48,7 +49,7 @@ class MultiHeadSelfAttention(nn.Module):
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         ctx = ctx.reshape(b, t, self.hidden)
-        return nn.Dense(self.hidden, name="out")(ctx)
+        return nn.Dense(self.hidden, name="out", dtype=self.dtype)(ctx)
 
 
 class TransformerLayer(nn.Module):
@@ -58,21 +59,23 @@ class TransformerLayer(nn.Module):
     eps: float = 1e-12
     dropout: float = 0.0
     attn_impl: str = "xla"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        y = nn.LayerNorm(epsilon=self.eps, name="ln1")(x)
-        y = MultiHeadSelfAttention(self.hidden, self.heads, self.attn_impl, name="attn")(
-            y, deterministic
-        )
+        # residual stream stays f32; sublayers compute in self.dtype
+        y = nn.LayerNorm(epsilon=self.eps, name="ln1", dtype=self.dtype)(x)
+        y = MultiHeadSelfAttention(
+            self.hidden, self.heads, self.attn_impl, self.dtype, name="attn"
+        )(y, deterministic)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = x + y
-        z = nn.LayerNorm(epsilon=self.eps, name="ln2")(x)
-        z = nn.Dense(self.mlp_dim, name="fc1")(z)
+        x = x + y.astype(x.dtype)
+        z = nn.LayerNorm(epsilon=self.eps, name="ln2", dtype=self.dtype)(x)
+        z = nn.Dense(self.mlp_dim, name="fc1", dtype=self.dtype)(z)
         z = nn.gelu(z, approximate=False)
-        z = nn.Dense(self.hidden, name="fc2")(z)
+        z = nn.Dense(self.hidden, name="fc2", dtype=self.dtype)(z)
         z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
-        return x + z
+        return x + z.astype(x.dtype)
 
 
 class TransformerEncoder(nn.Module):
@@ -83,6 +86,7 @@ class TransformerEncoder(nn.Module):
     eps: float = 1e-12
     dropout: float = 0.0
     attn_impl: str = "xla"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -94,6 +98,7 @@ class TransformerEncoder(nn.Module):
                 self.eps,
                 self.dropout,
                 self.attn_impl,
+                self.dtype,
                 name=f"layer_{i}",
             )(x, deterministic)
         return x

@@ -26,6 +26,7 @@ class ViT(nn.Module):
     eps: float = 1e-12
     dropout: float = 0.0
     attn_impl: str = "xla"
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
 
     @property
     def num_patches(self) -> int:
@@ -54,7 +55,7 @@ class ViT(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         x = TransformerEncoder(
             self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
-            self.dropout, self.attn_impl, name="encoder",
+            self.dropout, self.attn_impl, self.compute_dtype, name="encoder",
         )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
         return nn.Dense(self.num_labels, name="classifier")(x[:, 0])

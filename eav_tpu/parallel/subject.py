@@ -44,7 +44,21 @@ class SubjectParallelTrainer:
         self.inner = JitTrainer(model, cfg, maxnorm_rules, head_regex)
         self.model = model
         self.cfg = cfg
+        self._auto_mesh = mesh is None
         self.mesh = mesh if mesh is not None else make_mesh(((SUBJECT_AXIS, -1),))
+
+    def _mesh_for(self, n_subjects: int):
+        """Auto meshes shrink so the subject axis divides the stack."""
+        if not self._auto_mesh:
+            return self.mesh
+        size = self.mesh.devices.size
+        while size > 1 and n_subjects % size != 0:
+            size -= 1
+        if size == self.mesh.devices.size:
+            return self.mesh
+        import jax
+
+        return make_mesh(((SUBJECT_AXIS, size),), devices=jax.devices()[:size])
 
     def fit_stacked(
         self, data, seeds: Optional[Sequence[int]] = None, init_params=None
@@ -85,7 +99,8 @@ class SubjectParallelTrainer:
         hist = {"loss": [], "train_acc": [], "test_acc": []}
         outputs_test = None
         rngs = keys  # the post-split carry keys, matching JitTrainer.fit
-        sub_shard = lambda x: put_sharded(x, self.mesh, SUBJECT_AXIS)
+        mesh = self._mesh_for(S)
+        sub_shard = lambda x: put_sharded(x, mesh, SUBJECT_AXIS)
         params = jax.tree.map(sub_shard, params)
         opt_state = jax.tree.map(sub_shard, opt_state)
         tr_x, tr_y, te_x, te_y = map(sub_shard, (tr_x, tr_y, te_x, te_y))

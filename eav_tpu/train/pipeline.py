@@ -183,6 +183,8 @@ class ModalityPipelines:
         logits = result.outputs_test
         if vote_group:
             tl, pred = M.trial_vote(logits, vote_group)
+            if preset.finetune.vote_mode == "majority":
+                pred = M.trial_majority_vote(logits, vote_group, 5)
             te_y_trial = np.asarray(te_y).reshape(-1, vote_group)[:, 0]
             summary = M.classification_summary(te_y_trial, np.asarray(pred), 5)
             self._save_logits(subject, modality, "test", np.asarray(tl))
@@ -248,6 +250,41 @@ class ModalityPipelines:
             subject, "vision", "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
         )
         return self._finish(subject, "vision", preset, trainer, result, te_fy, fps)
+
+    def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
+        """Subject-parallel EEG: all subjects' fine-tunes as ONE sharded
+        program (parallel/subject.py) — the 42-subject sweep lever."""
+        from eav_tpu.parallel.subject import SubjectParallelTrainer
+
+        preset = self.presets["eeg"]
+        splits = []
+        for s in subjects:
+            x, y = self.load_eeg(s)
+            splits.append(eav_split(x, y, h_idx=preset.split.h_idx))
+        shapes = {tuple(np.asarray(sp[0]).shape) for sp in splits}
+        if len(shapes) != 1:
+            raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
+        stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
+        model, kw = build_model(preset)
+        sp_trainer = SubjectParallelTrainer(model, preset.finetune, **kw)
+        stacked = sp_trainer.fit_stacked(
+            stack, seeds=[self.seed + s for s in subjects]
+        )
+        out: Dict[int, TaskResult] = {}
+        for i, s in enumerate(subjects):
+            logits = stacked.outputs_test[i]
+            pred = np.argmax(logits, axis=-1)
+            summary = M.classification_summary(stack[3][i], pred, 5)
+            self._save_logits(s, "eeg", "test", logits)
+            out[s] = TaskResult(
+                metrics={
+                    "accuracy": summary["accuracy"],
+                    "weighted_f1": summary["weighted_f1"],
+                    "final_train_acc": float(stacked.history["train_acc"][i, -1]),
+                    "epochs": int(stacked.history["test_acc"].shape[1]),
+                }
+            )
+        return out
 
     def run_fusion(self, subject: int) -> TaskResult:
         """Late fusion over archived per-trial logits (BASELINE config 5)."""

@@ -117,3 +117,17 @@ def test_eegnet_learns_synthetic(rng):
         (x[:80], y_rand[:80], x[80:], y_rand[80:]), seed=0
     )
     assert res2.history["test_acc"][-1] < 0.45
+
+
+def test_eegnet_bf16_close_to_f32(rng):
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.normal(size=(4, 30, 500)).astype(np.float32)
+    m32 = EEGNet(dropout_rate=0.0)
+    m16 = EEGNet(dropout_rate=0.0, compute_dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), x, train=False)
+    o32 = np.asarray(m32.apply(v, x, train=False))
+    o16 = np.asarray(m16.apply(v, x, train=False))
+    assert o16.dtype == np.float32
+    assert np.abs(o32 - o16).max() < 0.15 * np.abs(o32).max() + 0.05

@@ -156,3 +156,32 @@ def test_full_pipeline_and_sweep(tmp_path, rng):
 
     # resume is a no-op
     assert SweepRunner(cfg, pipelines.task_fn).pending_tasks() == []
+
+
+@pytest.mark.slow
+def test_subject_parallel_eeg_pipeline(tmp_path, rng):
+    """run_eeg_stacked: two synthetic subjects as one sharded program, with
+    journal records identical to the serial path."""
+    root = tmp_path / "EAV"
+    root.mkdir()
+    _make_subject(root, rng, subject=1)
+    _make_subject(root, rng, subject=2)
+    out = tmp_path / "run"
+    pipelines = ModalityPipelines(
+        data_root=str(root),
+        cache_dir=str(out / "cache"),
+        logits_dir=str(out / "logits"),
+        presets=_tiny_presets(),
+    )
+    cfg = SweepConfig(
+        subjects=(1, 2),
+        modalities=("eeg",),
+        journal_path=str(out / "journal.jsonl"),
+        metrics_path=str(out / "metrics.jsonl"),
+    )
+    runner = SweepRunner(cfg, pipelines.task_fn)
+    state = runner.run_batched("eeg", pipelines.run_eeg_stacked, group_size=2, verbose=False)
+    assert state["subject01_eeg"]["status"] == "done"
+    assert state["subject02_eeg"]["status"] == "done"
+    agg = runner.aggregate()
+    assert agg["eeg"]["n_subjects"] == 2

@@ -80,3 +80,33 @@ def test_pytree_roundtrip(tmp_path):
     back = load_pytree(p)
     np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
     assert int(np.asarray(back["c"])) == 7
+
+
+def test_run_batched(tmp_path):
+    from eav_tpu.core.sweep import TaskResult as TR
+
+    def batch_fn(subjects):
+        return {s: TR(metrics={"accuracy": 0.4 + 0.01 * s}) for s in subjects}
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4, 5), modalities=("eeg",))
+    runner = SweepRunner(cfg, lambda s, m: None)
+    state = runner.run_batched("eeg", batch_fn, group_size=2, verbose=False)
+    assert len(state) == 5 and all(r["status"] == "done" for r in state.values())
+    assert runner.pending_tasks() == []
+    agg = runner.aggregate()
+    assert agg["eeg"]["n_subjects"] == 5
+
+
+def test_run_batched_failure_isolated(tmp_path):
+    from eav_tpu.core.sweep import TaskResult as TR
+
+    def batch_fn(subjects):
+        if 2 in subjects:
+            raise RuntimeError("group boom")
+        return {s: TR(metrics={"accuracy": 0.4}) for s in subjects}
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4), modalities=("eeg",))
+    runner = SweepRunner(cfg, lambda s, m: None)
+    state = runner.run_batched("eeg", batch_fn, group_size=2, verbose=False)
+    assert state["subject01_eeg"]["status"] == "failed"  # group of (1,2) failed
+    assert state["subject03_eeg"]["status"] == "done"
