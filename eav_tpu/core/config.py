@@ -344,6 +344,24 @@ PRESETS: Dict[str, PresetConfig] = {
         eeg=EEGPreprocConfig(),
         finetune=_conformer_finetune(),
     ),
+    "resnet_vision": PresetConfig(
+        name="resnet_vision",
+        description="ResNet50+channel-attention video baseline (CNN_Vision.py), "
+        "3+3 epoch freeze protocol, mean-logit trial vote",
+        split=SplitConfig(),
+        vision=VisionPreprocConfig(face_detection=True),
+        finetune=FinetuneConfig(
+            model="resnet_attn",
+            batch_size=32,
+            optimizer="adamw",
+            weight_decay=0.01,  # torch AdamW default (`CNN_Vision.py:86`)
+            phases=(
+                PhaseConfig(epochs=3, lr=5e-4, freeze=True),
+                PhaseConfig(epochs=3, lr=5e-6, freeze=False),
+            ),
+            vote_group=25,
+        ),
+    ),
 }
 
 

@@ -42,6 +42,10 @@ class EEGNet(nn.Module):
     # the torch variant uses norm_rate for both. None = norm_rate.
     norm_rate_dense: float | None = None
     separable_mode: str = "single"  # 'single' (EEGNet_tor) | 'true' (CNN_EEG)
+    # the Keras EEGNet has NO activation between the temporal conv's BN and
+    # the depthwise conv (`CNN_EEG_tf.py:30-38`); the torch variant applies
+    # ELU there (`EEGNet_tor.py:51-53`)
+    first_activation: bool = True
     compute_dtype: object = None  # e.g. jnp.bfloat16; params and BN stay f32
 
     @nn.compact
@@ -63,7 +67,8 @@ class EEGNet(nn.Module):
             dtype=dt,
         )(x)
         x = bn("bn_temporal")(x)
-        x = nn.elu(x)
+        if self.first_activation:
+            x = nn.elu(x)
         # Depthwise conv across electrodes: (chans, 1), F1 -> F1*D
         x = nn.Conv(
             self.f1 * self.d,
@@ -115,3 +120,13 @@ class EEGNet(nn.Module):
             (r"conv_depthwise/kernel", self.norm_rate, (0, 1, 2)),
             (r"head/kernel", dense_norm, (0,)),
         )
+
+
+def eegnet_keras(**kw) -> EEGNet:
+    """The canonical Keras EEGNet as shipped in `CNN_tensorflow/CNN_EEG_tf.py`:
+    true separable conv, no ELU after the first BN, dense max_norm 0.25."""
+    defaults = dict(
+        separable_mode="true", first_activation=False, norm_rate_dense=0.25
+    )
+    defaults.update(kw)
+    return EEGNet(**defaults)

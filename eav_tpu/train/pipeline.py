@@ -195,6 +195,7 @@ class ModalityPipelines:
         metrics = {
             "accuracy": summary["accuracy"],
             "weighted_f1": summary["weighted_f1"],
+            "confusion": summary["confusion"],
             "final_train_acc": float(result.history["train_acc"][-1]),
             "epochs": int(len(result.history["test_acc"])),
         }
