@@ -266,6 +266,7 @@ class JitTrainer:
         init_params=None,
         init_batch_stats=None,
         mesh=None,
+        checkpoint_dir: Optional[str] = None,
     ) -> TrainResult:
         """``init_params``: optional pretrained params (e.g. an imported HF
         checkpoint, models/hf_import.py) replacing random init — the
@@ -274,7 +275,12 @@ class JitTrainer:
         ``mesh``: optional Mesh with a ``data`` axis — the split is placed
         batch-sharded across it (data parallelism; XLA inserts the gradient
         reduction), the TPU-native replacement for the reference's
-        ``nn.DataParallel`` (`Transformer_Audio.py:59-60`)."""
+        ``nn.DataParallel`` (`Transformer_Audio.py:59-60`).
+
+        ``checkpoint_dir``: per-phase TrainState checkpoints (params, batch
+        stats, optimizer state, rng) under ``<dir>/phase<N>``; a rerun
+        resumes after the last completed phase (SURVEY.md §5 checkpoint
+        row)."""
         tr_x, tr_y, te_x, te_y = data
         tr_x = jnp.asarray(tr_x, jnp.float32)
         te_x = jnp.asarray(te_x, jnp.float32)
@@ -305,7 +311,28 @@ class JitTrainer:
         hist_loss, hist_tr, hist_te, hist_el = [], [], [], []
         outputs_test = None
         use_python_loop = jax.default_backend() == "cpu"
-        for phase_cfg in self.cfg.phases:
+        start_phase = 0
+        if checkpoint_dir is not None:
+            import os
+
+            from eav_tpu.core.checkpoint import load_pytree, save_pytree
+
+            for i in range(len(self.cfg.phases) - 1, -1, -1):
+                path = os.path.join(checkpoint_dir, f"phase{i}")
+                if os.path.exists(path) or os.path.exists(path + ".npz"):
+                    state = load_pytree(path)
+                    params = jax.tree.map(jnp.asarray, state["params"])
+                    bstats = jax.tree.map(jnp.asarray, state["batch_stats"])
+                    opt_state = AdamState(**{
+                        k: jax.tree.map(jnp.asarray, state["opt"][k])
+                        for k in ("count", "mu", "nu")
+                    })
+                    rng = jnp.asarray(state["rng"], jnp.uint32)
+                    start_phase = i + 1
+                    break
+        for phase_idx, phase_cfg in enumerate(self.cfg.phases):
+            if phase_idx < start_phase:
+                continue
             mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
             if use_python_loop:
@@ -328,6 +355,16 @@ class JitTrainer:
             if el is not None:
                 hist_el.append(np.asarray(el))
             outputs_test = np.asarray(logits)
+            if checkpoint_dir is not None:
+                save_pytree(
+                    os.path.join(checkpoint_dir, f"phase{phase_idx}"),
+                    {
+                        "params": params,
+                        "batch_stats": bstats,
+                        "opt": {"count": opt_state.count, "mu": opt_state.mu, "nu": opt_state.nu},
+                        "rng": rng,
+                    },
+                )
             if verbose:
                 print(
                     f"[phase freeze={phase_cfg.freeze}] "

@@ -95,3 +95,37 @@ def test_classifier_head_regex_matches_ast():
         "classifier_ln/scale",
         "classifier_ln/bias",
     }
+
+
+def test_phase_checkpoint_resume(tmp_path, tiny_data):
+    """A rerun with checkpoint_dir resumes after completed phases and
+    produces identical final params."""
+    model = ast_tiny()
+    cfg = FinetuneConfig(
+        model="ast",
+        batch_size=8,
+        optimizer="adamw",
+        weight_decay=0.01,
+        phases=(
+            PhaseConfig(epochs=1, lr=5e-4, freeze=True),
+            PhaseConfig(epochs=1, lr=5e-6, freeze=False),
+        ),
+    )
+    trainer = JitTrainer(model, cfg)
+    ck = str(tmp_path / "ck")
+    full = trainer.fit(tiny_data, seed=0, checkpoint_dir=ck)
+    # remove phase1 checkpoint -> rerun resumes from phase0 and must
+    # reproduce the same final params
+    import os, shutil
+
+    for suffix in ("", ".npz"):
+        p = os.path.join(ck, "phase1" + suffix)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    resumed = trainer.fit(tiny_data, seed=0, checkpoint_dir=ck)
+    a = jax.tree.leaves(full.params)
+    b = jax.tree.leaves(resumed.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6)
