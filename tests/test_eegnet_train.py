@@ -131,3 +131,26 @@ def test_eegnet_bf16_close_to_f32(rng):
     o16 = np.asarray(m16.apply(v, x, train=False))
     assert o16.dtype == np.float32
     assert np.abs(o32 - o16).max() < 0.15 * np.abs(o32).max() + 0.05
+
+
+def test_fft_temporal_conv_matches_direct(rng):
+    """FFT correlation path == lax conv path (same params)."""
+    x = rng.normal(size=(3, 30, 500)).astype(np.float32)
+    m_conv = EEGNet(dropout_rate=0.0)
+    m_fft = EEGNet(dropout_rate=0.0, temporal_mode="fft")
+    v = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+    o1 = np.asarray(m_conv.apply(v, x, train=False))
+    o2 = np.asarray(m_fft.apply(v, x, train=False))
+    np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-3)
+
+
+def test_fft_temporal_conv_odd_kernel(rng):
+    x = rng.normal(size=(2, 8, 128)).astype(np.float32)
+    m_conv = EEGNet(chans=8, samples=128, kern_length=31, dropout_rate=0.0)
+    m_fft = EEGNet(
+        chans=8, samples=128, kern_length=31, dropout_rate=0.0, temporal_mode="fft"
+    )
+    v = m_conv.init(jax.random.PRNGKey(1), x, train=False)
+    o1 = np.asarray(m_conv.apply(v, x, train=False))
+    o2 = np.asarray(m_fft.apply(v, x, train=False))
+    np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-3)
