@@ -69,6 +69,18 @@ def cmd_run(args) -> int:
     return 0
 
 
+def format_summary(agg: dict) -> str:
+    """Human table of the published summary quantities (README.md:23,31,40)."""
+    lines = [f"{'modality':12s} {'n':>3s} {'mean ACC':>9s} {'std':>6s} {'mean wF1':>9s}"]
+    for mod, d in sorted(agg.items()):
+        wf1 = f"{d['mean_weighted_f1']*100:8.1f}%" if d.get("mean_weighted_f1") is not None else "      --"
+        lines.append(
+            f"{mod:12s} {d['n_subjects']:3d} {d['mean_accuracy']*100:8.1f}% "
+            f"{d['std_accuracy']*100:5.1f}% {wf1}"
+        )
+    return "\n".join(lines)
+
+
 def cmd_aggregate(args) -> int:
     from eav_tpu.core.config import SweepConfig
     from eav_tpu.core.sweep import SweepRunner
@@ -77,7 +89,9 @@ def cmd_aggregate(args) -> int:
         journal_path=os.path.join(args.out, "journal.jsonl"),
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
     )
-    print(json.dumps(SweepRunner(cfg, lambda s, m: None).aggregate(), indent=2))
+    agg = SweepRunner(cfg, lambda s, m: None).aggregate()
+    print(format_summary(agg))
+    print(json.dumps(agg, indent=2))
     return 0
 
 
