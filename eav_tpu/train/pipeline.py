@@ -121,9 +121,11 @@ class ModalityPipelines:
         self.seed = seed
         self.presets = presets or {
             "eeg": get_preset("eegnet_subject"),
+            "eeg_conformer": get_preset("conformer_eeg"),
             "audio": get_preset("ast_finetune"),
             "audio_scnn": get_preset("scnn_audio"),
             "vision": get_preset("vit_finetune"),
+            "vision_resnet": get_preset("resnet_vision"),
             "fusion": get_preset("fusion_sweep"),
         }
 
@@ -158,8 +160,8 @@ class ModalityPipelines:
             self.cache_dir, f"s{subject:02d}_aud_{frontend}_{_cfg_hash(cfg)}", compute
         )
 
-    def load_vision(self, subject: int):
-        preset = self.presets["vision"]
+    def load_vision(self, subject: int, preset_key: str = "vision"):
+        preset = self.presets[preset_key]
         cfg = preset.vision or VisionPreprocConfig()
 
         def compute():
@@ -201,18 +203,18 @@ class ModalityPipelines:
         }
         return TaskResult(metrics=metrics, artifacts={"params": result.params})
 
-    def run_eeg(self, subject: int) -> TaskResult:
-        preset = self.presets["eeg"]
+    def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:
+        preset = self.presets[preset_key]
         x, y = self.load_eeg(subject)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
         model, kw = build_model(preset)
         trainer = JitTrainer(model, preset.finetune, **kw)
         result = trainer.fit(data, seed=self.seed + subject)
         self._save_logits(
-            subject, "eeg", "train",
+            subject, preset_key, "train",
             trainer.predict(result.params, result.batch_stats, data[0]),
         )
-        return self._finish(subject, "eeg", preset, trainer, result, data[3], None)
+        return self._finish(subject, preset_key, preset, trainer, result, data[3], None)
 
     def run_audio(self, subject: int, frontend: str = "fbank") -> TaskResult:
         key = "audio" if frontend == "fbank" else "audio_scnn"
@@ -229,11 +231,11 @@ class ModalityPipelines:
         )
         return self._finish(subject, key, preset, trainer, result, data[3], None)
 
-    def run_vision(self, subject: int) -> TaskResult:
+    def run_vision(self, subject: int, preset_key: str = "vision") -> TaskResult:
         from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
 
-        preset = self.presets["vision"]
-        x, y = self.load_vision(subject)  # (trials, frames, H, W, 3) uint8
+        preset = self.presets[preset_key]
+        x, y = self.load_vision(subject, preset_key)  # (trials, frames, H, W, 3) uint8
         tr_x, tr_y, te_x, te_y = eav_split(x, y, h_idx=preset.split.h_idx)
         fps = x.shape[1]
         tr_f, tr_fy = flatten_trials_to_frames(tr_x, tr_y)
@@ -248,9 +250,9 @@ class ModalityPipelines:
                              init_params=init_params)
         tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
         self._save_logits(
-            subject, "vision", "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
+            subject, preset_key, "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
         )
-        return self._finish(subject, "vision", preset, trainer, result, te_fy, fps)
+        return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps)
 
     def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
         """Subject-parallel EEG: all subjects' fine-tunes as ONE sharded
@@ -321,12 +323,16 @@ class ModalityPipelines:
     def task_fn(self, subject: int, modality: str) -> TaskResult:
         if modality == "eeg":
             return self.run_eeg(subject)
+        if modality == "eeg_conformer":
+            return self.run_eeg(subject, "eeg_conformer")
         if modality == "audio":
             return self.run_audio(subject, "fbank")
         if modality == "audio_scnn":
             return self.run_audio(subject, "scnn180")
         if modality == "vision":
             return self.run_vision(subject)
+        if modality == "vision_resnet":
+            return self.run_vision(subject, "vision_resnet")
         if modality == "fusion":
             return self.run_fusion(subject)
         raise KeyError(f"unknown modality {modality!r}")
