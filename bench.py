@@ -44,7 +44,12 @@ def bench_tpu(subjects: int = 8, epochs: int = 20) -> float:
     te_x = rng.normal(size=(S, n_te, 30, 500)).astype(np.float32)
     te_y = rng.integers(0, 5, size=(S, n_te)).astype(np.int32)
 
-    model = EEGNet()
+    # experimental knobs (numerics-parity default: f32 + direct conv)
+    import jax.numpy as _jnp
+
+    dtype = {"bf16": _jnp.bfloat16}.get(os.environ.get("EAV_BENCH_DTYPE", ""), None)
+    temporal = os.environ.get("EAV_BENCH_TEMPORAL", "conv")
+    model = EEGNet(compute_dtype=dtype, temporal_mode=temporal)
     mesh = make_mesh(((SUBJECT_AXIS, 1),), devices=jax.devices()[:1])
 
     # One compiled multi-epoch phase program — the whole fine-tune is a single
