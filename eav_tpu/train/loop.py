@@ -254,8 +254,17 @@ class JitTrainer:
         to collect train-trial scores)."""
         bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
         x = jnp.asarray(x, jnp.float32)
-        apply = jax.jit(self._apply_eval)
-        outs = [np.asarray(apply(params, bstats, x[i : i + bs])) for i in range(0, len(x), bs)]
+        if not hasattr(self, "_predict_jit"):
+            self._predict_jit = jax.jit(self._apply_eval)
+        apply = self._predict_jit
+        # pad the tail batch to keep one compiled shape
+        outs = []
+        for i in range(0, len(x), bs):
+            chunk = x[i : i + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], bs - n, axis=0)])
+            outs.append(np.asarray(apply(params, bstats, chunk))[:n])
         return np.concatenate(outs, axis=0)
 
     def fit(
