@@ -18,7 +18,6 @@ documented center-crop fallback.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, List, Optional, Tuple
 

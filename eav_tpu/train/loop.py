@@ -21,7 +21,6 @@ Protocol parity:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
