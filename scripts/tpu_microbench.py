@@ -84,12 +84,26 @@ def main():
             AST(compute_dtype=jnp.bfloat16, attn_impl="flash"), x, y,
             "ast bf16+flash bs8", wd=0.01,
         )
+    if which in ("vit",):
+        bench_vit()
     if which in ("all", "attn"):
         from eav_tpu.models.ast import AST
 
         x = jnp.asarray(rng.normal(size=(8, 1024, 128)).astype(np.float32))
         y = jnp.asarray(rng.integers(0, 5, 8).astype(np.int32))
         bench_model_step(AST(attn_impl="flash"), x, y, "ast f32+flash bs8", wd=0.01)
+
+
+
+
+def bench_vit():
+    from eav_tpu.models.vit import ViT
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(128, 224, 224, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 5, 128).astype(np.int32))
+    bench_model_step(ViT(), x, y, "vit f32 bs128", wd=0.01)
+    bench_model_step(ViT(compute_dtype=jnp.bfloat16), x, y, "vit bf16 bs128", wd=0.01)
 
 
 if __name__ == "__main__":

@@ -14,12 +14,21 @@ from eav_tpu.ops.signal import bandpass_sos, design_butter_sos, resample_poly, s
 
 
 @pytest.mark.parametrize("n", [1000, 2047])
-@pytest.mark.parametrize("up,down", [(1, 5), (2, 3), (160, 441)])
+@pytest.mark.parametrize("up,down", [(1, 5), (2, 3)])
 def test_resample_poly_matches_scipy(rng, n, up, down):
     x = rng.normal(size=(3, n))
     ref = sps.resample_poly(x, up, down, axis=-1)
     ours = np.asarray(resample_poly(x, up, down))
     assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-10)
+
+
+def test_resample_poly_441_to_160(rng):
+    # the 44.1k -> 16k production ratio, one size (8821-tap FIR is slow on
+    # this 1-core host)
+    x = rng.normal(size=(1, 2000))
+    ref = sps.resample_poly(x, 160, 441, axis=-1)
+    ours = np.asarray(resample_poly(x, 160, 441))
     np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-10)
 
 
@@ -44,7 +53,7 @@ def test_sosfilt_matches_scipy(rng, method):
 def test_sosfilt_assoc_blocked_long(rng):
     # Long signal crossing many blocks; EEG-scale (ch, t*tri) row.
     sos = design_butter_sos(5, 0.5, 45.0, 100.0)
-    x = rng.normal(size=(2, 200_000))
+    x = rng.normal(size=(2, 60_000))
     ref = sps.sosfilt(sos, x, axis=-1)
     ours = np.asarray(sosfilt(sos, x, method="parallel", block_size=1 << 12))
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-8)
