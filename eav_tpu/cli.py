@@ -60,10 +60,14 @@ def cmd_run(args) -> int:
         max_retries=args.max_retries,
     )
     runner = SweepRunner(cfg, pipelines.task_fn)
-    if args.subject_parallel > 1 and "eeg" in cfg.modalities:
-        runner.run_batched(
-            "eeg", pipelines.run_eeg_stacked, group_size=args.subject_parallel
-        )
+    if args.subject_parallel > 1:
+        for mod in ("eeg", "eeg_conformer", "audio", "audio_scnn"):
+            if mod in cfg.modalities:
+                runner.run_batched(
+                    mod,
+                    lambda subs, m=mod: pipelines.run_stacked(subs, m),
+                    group_size=args.subject_parallel,
+                )
     runner.run(verbose=True)
     print(json.dumps(runner.aggregate(), indent=2))
     return 0

@@ -254,15 +254,25 @@ class ModalityPipelines:
         )
         return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps)
 
-    def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
-        """Subject-parallel EEG: all subjects' fine-tunes as ONE sharded
-        program (parallel/subject.py) — the 42-subject sweep lever."""
+    def run_stacked(self, subjects, modality: str = "eeg") -> Dict[int, TaskResult]:
+        """Subject-parallel fine-tunes: all subjects of one modality as ONE
+        sharded program (parallel/subject.py) — the 42-subject sweep lever.
+        Supports the fixed-shape modalities (eeg, eeg_conformer, audio,
+        audio_scnn); per-frame vision is too large to stack."""
         from eav_tpu.parallel.subject import SubjectParallelTrainer
 
-        preset = self.presets["eeg"]
+        preset = self.presets[modality]
+        loaders = {
+            "eeg": self.load_eeg,
+            "eeg_conformer": self.load_eeg,
+            "audio": lambda s: self.load_audio(s, "fbank"),
+            "audio_scnn": lambda s: self.load_audio(s, "scnn180"),
+        }
+        if modality not in loaders:
+            raise KeyError(f"run_stacked does not support modality {modality!r}")
         splits = []
         for s in subjects:
-            x, y = self.load_eeg(s)
+            x, y = loaders[modality](s)
             splits.append(eav_split(x, y, h_idx=preset.split.h_idx))
         shapes = {tuple(np.asarray(sp[0]).shape) for sp in splits}
         if len(shapes) != 1:
@@ -278,7 +288,7 @@ class ModalityPipelines:
             logits = stacked.outputs_test[i]
             pred = np.argmax(logits, axis=-1)
             summary = M.classification_summary(stack[3][i], pred, 5)
-            self._save_logits(s, "eeg", "test", logits)
+            self._save_logits(s, modality, "test", logits)
             out[s] = TaskResult(
                 metrics={
                     "accuracy": summary["accuracy"],
@@ -288,6 +298,9 @@ class ModalityPipelines:
                 }
             )
         return out
+
+    def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
+        return self.run_stacked(subjects, "eeg")
 
     def run_fusion(self, subject: int) -> TaskResult:
         """Late fusion over archived per-trial logits (BASELINE config 5)."""
