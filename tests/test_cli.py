@@ -39,3 +39,18 @@ def test_format_summary():
                  "mean_weighted_f1": 0.341}}
     )
     assert "36.7%" in s and "34.1%" in s
+
+
+def test_baseline_presets_complete():
+    """The five BASELINE.json workloads are named presets (SURVEY.md §7)."""
+    from eav_tpu.core.config import PRESETS
+
+    required = {
+        "eegnet_subject",   # config 1
+        "scnn_audio",       # config 2
+        "ast_finetune",     # config 3
+        "vit_finetune",     # config 4
+        "fusion_sweep",     # config 5
+    }
+    assert required <= set(PRESETS)
+    assert PRESETS["fusion_sweep"].sweep is not None

@@ -154,3 +154,16 @@ def test_fft_temporal_conv_odd_kernel(rng):
     o1 = np.asarray(m_conv.apply(v, x, train=False))
     o2 = np.asarray(m_fft.apply(v, x, train=False))
     np.testing.assert_allclose(o1, o2, rtol=1e-3, atol=1e-3)
+
+
+def test_fit_is_deterministic(rng):
+    x = rng.normal(size=(20, 4, 64)).astype(np.float32)
+    y = rng.integers(0, 5, 20)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=8, optimizer="adam", weight_decay=0.0,
+        phases=(PhaseConfig(epochs=2, lr=1e-3, freeze=False),),
+    )
+    model = EEGNet(chans=4, samples=64, kern_length=8)
+    a = JitTrainer(model, cfg).fit((x[:12], y[:12], x[12:], y[12:]), seed=7)
+    b = JitTrainer(model, cfg).fit((x[:12], y[:12], x[12:], y[12:]), seed=7)
+    np.testing.assert_array_equal(a.outputs_test, b.outputs_test)
