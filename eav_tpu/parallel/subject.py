@@ -11,8 +11,8 @@ scaling, and small-batch models (EEGNet bs=32) pack the chip instead of
 underutilizing it (SURVEY.md §7.3 hard-part 6).
 
 Sizing: activation memory scales with the per-device stack; on a 16 GB v5e
-chip keep subject groups <= 16 for EEGNet-scale models (a 42-way stack OOMs
-the worker). The sweep runner's ``run_batched(group_size=...)`` controls
+chip keep subject groups <= 8 for EEGNet-scale models with the FFT conv
+(16- and 42-way stacks crash the worker). The sweep runner's ``run_batched(group_size=...)`` controls
 this; groups beyond one device's share shard across the ``subject`` axis.
 """
 
