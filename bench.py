@@ -188,8 +188,20 @@ def bench_ast_tpu(steps: int = 20, batch: int = 8) -> float:
 def main():
     import sys
 
+    def with_retry(fn, attempts=2, wait_s=180):
+        """The axon TPU worker occasionally crashes and auto-recovers in a
+        few minutes; retry once after a pause."""
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001
+                if i == attempts - 1:
+                    raise
+                print(f"# bench attempt failed ({type(e).__name__}); retrying in {wait_s}s")
+                time.sleep(wait_s)
+
     if "--flagship" in sys.argv:
-        ast_sps = bench_ast_tpu()
+        ast_sps = with_retry(bench_ast_tpu)
         print(
             json.dumps(
                 {
@@ -201,7 +213,7 @@ def main():
             )
         )
         return
-    tpu_sps = bench_tpu()
+    tpu_sps = with_retry(bench_tpu)
     torch_sps = bench_torch_cpu()
     print(
         json.dumps(
