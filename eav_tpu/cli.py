@@ -48,6 +48,7 @@ def cmd_run(args) -> int:
         cache_dir=args.cache_dir or os.path.join(out, "cache"),
         logits_dir=os.path.join(out, "logits"),
         seed=args.seed,
+        epochs_per_call=args.epochs_per_call,
     )
     cfg = SweepConfig(
         subjects=tuple(_parse_subjects(args.subjects)),
@@ -117,6 +118,10 @@ def main(argv=None) -> int:
     run.add_argument(
         "--subject-parallel", type=int, default=1,
         help="run N subjects' EEG fine-tunes as one sharded program",
+    )
+    run.add_argument(
+        "--epochs-per-call", type=int, default=None,
+        help="split subject-parallel phases into chunks of N epochs per device call",
     )
     run.set_defaults(fn=cmd_run)
 

@@ -45,10 +45,17 @@ class SubjectParallelTrainer:
         maxnorm_rules=(),
         head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
         mesh=None,
+        epochs_per_call: Optional[int] = None,
     ):
+        """``epochs_per_call``: split each phase into multiple invocations of
+        an ``epochs_per_call``-epoch program. Numerically identical to the
+        single program (the carry threads through); needed where a runtime
+        bounds single-execution duration (the axon tunnel kills executions of
+        a few minutes), and useful to bound time-to-first-metric."""
         self.inner = JitTrainer(model, cfg, maxnorm_rules, head_regex)
         self.model = model
         self.cfg = cfg
+        self.epochs_per_call = epochs_per_call
         self._auto_mesh = mesh is None
         self.mesh = mesh if mesh is not None else make_mesh(((SUBJECT_AXIS, -1),))
 
@@ -110,21 +117,34 @@ class SubjectParallelTrainer:
         opt_state = jax.tree.map(sub_shard, opt_state)
         tr_x, tr_y, te_x, te_y = map(sub_shard, (tr_x, tr_y, te_x, te_y))
 
+        vphase_cache = {}
+
+        def get_vphase(mask_key, mask, epochs):
+            key = (mask_key, epochs)
+            if key not in vphase_cache:
+                phase = self.inner.build_phase_fn(mask, epochs, n_train, n_test)
+                vphase_cache[key] = jax.jit(
+                    jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
+                    donate_argnums=(0, 2),
+                )
+            return vphase_cache[key]
+
         for phase_cfg in self.cfg.phases:
             mask = trainable_mask(one_params, phase_cfg.freeze, self.inner.head_regex)
-            phase = self.inner.build_phase_fn(mask, phase_cfg.epochs, n_train, n_test)
-            vphase = jax.jit(
-                jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
-                donate_argnums=(0, 2),
-            )
-            params, bstats, opt_state, rngs, (lh, trh, teh, _el), logits = vphase(
-                params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y,
-                jnp.asarray(phase_cfg.lr, jnp.float32),
-            )
-            hist["loss"].append(np.asarray(lh))
-            hist["train_acc"].append(np.asarray(trh))
-            hist["test_acc"].append(np.asarray(teh))
-            outputs_test = np.asarray(logits)
+            epc = self.epochs_per_call or phase_cfg.epochs
+            chunks = [epc] * (phase_cfg.epochs // epc)
+            if phase_cfg.epochs % epc:
+                chunks.append(phase_cfg.epochs % epc)
+            lr = jnp.asarray(phase_cfg.lr, jnp.float32)
+            for chunk_epochs in chunks:
+                vphase = get_vphase(phase_cfg.freeze, mask, chunk_epochs)
+                params, bstats, opt_state, rngs, (lh, trh, teh, _el), logits = vphase(
+                    params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y, lr
+                )
+                hist["loss"].append(np.asarray(lh))
+                hist["train_acc"].append(np.asarray(trh))
+                hist["test_acc"].append(np.asarray(teh))
+                outputs_test = np.asarray(logits)
 
         history = {k: np.concatenate(v, axis=1) for k, v in hist.items()}
         return StackedResult(params, bstats, history, outputs_test)

@@ -114,11 +114,13 @@ class ModalityPipelines:
         logits_dir: Optional[str] = None,
         presets: Optional[Dict[str, PresetConfig]] = None,
         seed: int = 0,
+        epochs_per_call: Optional[int] = None,
     ):
         self.data_root = data_root
         self.cache_dir = cache_dir
         self.logits_dir = logits_dir
         self.seed = seed
+        self.epochs_per_call = epochs_per_call
         self.presets = presets or {
             "eeg": get_preset("eegnet_subject"),
             "eeg_conformer": get_preset("conformer_eeg"),
@@ -279,7 +281,9 @@ class ModalityPipelines:
             raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
         model, kw = build_model(preset)
-        sp_trainer = SubjectParallelTrainer(model, preset.finetune, **kw)
+        sp_trainer = SubjectParallelTrainer(
+            model, preset.finetune, epochs_per_call=self.epochs_per_call, **kw
+        )
         stacked = sp_trainer.fit_stacked(
             stack, seeds=[self.seed + s for s in subjects]
         )

@@ -40,7 +40,8 @@ def main(subjects: int = 42):
     model = EEGNet(**preset.finetune.model_kwargs)
     mesh = make_mesh(((SUBJECT_AXIS, 1),), devices=jax.devices()[:1])
     sp = SubjectParallelTrainer(
-        model, preset.finetune, maxnorm_rules=model.maxnorm_rules, mesh=mesh
+        model, preset.finetune, maxnorm_rules=model.maxnorm_rules, mesh=mesh,
+        epochs_per_call=20,  # the axon tunnel kills multi-minute executions
     )
     t0 = time.perf_counter()
     result = sp.fit_stacked((tr_x, tr_y, te_x, te_y), seeds=list(range(S)))

@@ -95,3 +95,28 @@ def test_jittrainer_with_dp_mesh_matches_unsharded(rng):
     np.testing.assert_allclose(
         sharded.outputs_test, plain.outputs_test, rtol=2e-4, atol=2e-4
     )
+
+
+def test_chunked_epochs_match_single_program(rng):
+    """epochs_per_call chunks are numerically identical to one program."""
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+
+    S, n = 2, 16
+    x = rng.normal(size=(S, n, 4, 32)).astype(np.float32)
+    y = rng.integers(0, 5, (S, n)).astype(np.int32)
+    te_x = rng.normal(size=(S, 8, 4, 32)).astype(np.float32)
+    te_y = rng.integers(0, 5, (S, 8)).astype(np.int32)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=8, optimizer="adam", weight_decay=0.0,
+        phases=(PhaseConfig(epochs=4, lr=1e-3, freeze=False),),
+    )
+    model = EEGNet(chans=4, samples=32, kern_length=8, dropout_rate=0.0)
+    a = SubjectParallelTrainer(model, cfg).fit_stacked((x, y, te_x, te_y), seeds=[0, 1])
+    b = SubjectParallelTrainer(model, cfg, epochs_per_call=1).fit_stacked(
+        (x, y, te_x, te_y), seeds=[0, 1]
+    )
+    np.testing.assert_allclose(a.outputs_test, b.outputs_test, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        a.history["test_acc"].shape, b.history["test_acc"].shape
+    )
