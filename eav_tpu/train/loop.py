@@ -70,11 +70,16 @@ class JitTrainer:
         cfg: FinetuneConfig,
         maxnorm_rules: Sequence[Tuple[str, float, Tuple[int, ...]]] = (),
         head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
+        epochs_per_call: Optional[int] = None,
     ):
+        """``epochs_per_call``: split each phase into chunked invocations of
+        a shorter compiled program — numerically identical (the carry threads
+        through); needed on runtimes that bound single-execution duration."""
         self.model = model
         self.cfg = cfg
         self.maxnorm_rules = tuple(maxnorm_rules)
         self.head_regex = head_regex
+        self.epochs_per_call = epochs_per_call
 
     # -- model plumbing --------------------------------------------------
 
@@ -344,25 +349,37 @@ class JitTrainer:
             mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
             if use_python_loop:
-                params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
-                    self._run_phase_python(
-                        mask, phase_cfg.epochs, params, bstats, opt_state, rng,
-                        tr_x, tr_y, te_x, te_y, lr,
-                    )
-                )
+                chunks = [phase_cfg.epochs]
             else:
-                phase_fn = self._build_phase(
-                    mask, phase_cfg.epochs, int(tr_x.shape[0]), int(te_x.shape[0])
-                )
-                params, bstats, opt_state, rng, (lh, trh, teh, el), logits = phase_fn(
-                    params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
-                )
-            hist_loss.append(np.asarray(lh))
-            hist_tr.append(np.asarray(trh))
-            hist_te.append(np.asarray(teh))
-            if el is not None:
-                hist_el.append(np.asarray(el))
-            outputs_test = np.asarray(logits)
+                epc = self.epochs_per_call or phase_cfg.epochs
+                chunks = [epc] * (phase_cfg.epochs // epc)
+                if phase_cfg.epochs % epc:
+                    chunks.append(phase_cfg.epochs % epc)
+            phase_fns: Dict[int, Any] = {}
+            for chunk_epochs in chunks:
+                if use_python_loop:
+                    params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
+                        self._run_phase_python(
+                            mask, chunk_epochs, params, bstats, opt_state, rng,
+                            tr_x, tr_y, te_x, te_y, lr,
+                        )
+                    )
+                else:
+                    if chunk_epochs not in phase_fns:
+                        phase_fns[chunk_epochs] = self._build_phase(
+                            mask, chunk_epochs, int(tr_x.shape[0]), int(te_x.shape[0])
+                        )
+                    params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
+                        phase_fns[chunk_epochs](
+                            params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
+                        )
+                    )
+                hist_loss.append(np.asarray(lh))
+                hist_tr.append(np.asarray(trh))
+                hist_te.append(np.asarray(teh))
+                if el is not None:
+                    hist_el.append(np.asarray(el))
+                outputs_test = np.asarray(logits)
             if checkpoint_dir is not None:
                 save_pytree(
                     os.path.join(checkpoint_dir, f"phase{phase_idx}"),
