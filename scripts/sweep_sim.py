@@ -28,15 +28,13 @@ from eav_tpu.parallel.mesh import SUBJECT_AXIS, make_mesh
 from eav_tpu.parallel.subject import SubjectParallelTrainer
 
 
-def main(subjects: int = 42):
+def main(subjects: int = 42, group: int = 8):
+    """Process ``subjects`` fine-tunes in stacked groups of ``group`` (8 is
+    the safe per-chip stack for the FFT EEGNet on 16 GB; the compiled program
+    is reused across groups of equal size)."""
     preset = get_preset("eegnet_subject")
     rng = np.random.default_rng(0)
-    S, n_tr, n_te = subjects, 280, 120
-    tr_x = rng.normal(size=(S, n_tr, 30, 500)).astype(np.float32)
-    tr_y = np.tile(np.repeat(np.arange(5), n_tr // 5), (S, 1)).astype(np.int32)
-    te_x = rng.normal(size=(S, n_te, 30, 500)).astype(np.float32)
-    te_y = np.tile(np.repeat(np.arange(5), n_te // 5), (S, 1)).astype(np.int32)
-
+    n_tr, n_te = 280, 120
     model = EEGNet(**preset.finetune.model_kwargs)
     mesh = make_mesh(((SUBJECT_AXIS, 1),), devices=jax.devices()[:1])
     sp = SubjectParallelTrainer(
@@ -44,23 +42,37 @@ def main(subjects: int = 42):
         epochs_per_call=20,  # the axon tunnel kills multi-minute executions
     )
     t0 = time.perf_counter()
-    result = sp.fit_stacked((tr_x, tr_y, te_x, te_y), seeds=list(range(S)))
-    np.asarray(result.outputs_test)
+    done, epochs = 0, 0
+    while done < subjects:
+        S = min(group, subjects - done)
+        tr_x = rng.normal(size=(S, n_tr, 30, 500)).astype(np.float32)
+        tr_y = np.tile(np.repeat(np.arange(5), n_tr // 5), (S, 1)).astype(np.int32)
+        te_x = rng.normal(size=(S, n_te, 30, 500)).astype(np.float32)
+        te_y = np.tile(np.repeat(np.arange(5), n_te // 5), (S, 1)).astype(np.int32)
+        result = sp.fit_stacked(
+            (tr_x, tr_y, te_x, te_y), seeds=list(range(done, done + S))
+        )
+        np.asarray(result.outputs_test)
+        epochs = int(result.history["test_acc"].shape[1])
+        done += S
+        print(f"# group done: {done}/{subjects}", flush=True)
     wall = time.perf_counter() - t0
-    epochs = int(result.history["test_acc"].shape[1])
     print(
         json.dumps(
             {
                 "metric": "eegnet_42subject_sweep_wall_clock",
-                "subjects": S,
+                "subjects": subjects,
                 "epochs": epochs,
                 "value": round(wall, 1),
                 "unit": "s (incl. compile)",
-                "samples_per_sec": round(S * n_tr * epochs / wall, 1),
+                "samples_per_sec": round(subjects * n_tr * epochs / wall, 1),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 42)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 42,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+    )
