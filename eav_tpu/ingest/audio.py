@@ -66,47 +66,50 @@ class DataLoadAudio:
     def process(self, target_sr: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         target_sr = target_sr or self.cfg.target_sr
         files, emotions = self.data_files()
-        segs, labels = [], []
-        # group by original sample rate so each group resamples in one
-        # batched device call; native threaded decode when built
-        by_sr: dict = {}
         from eav_tpu.ingest import native
 
+        # decode (native threaded queue when built), in dataset order
         if native.available() and files:
             pf = native.WavPrefetcher(n_threads=4)
             for f in files:
                 pf.submit(f)
             decoded = {path: (wave, sr) for path, wave, sr in pf}
             pf.close()
-            # deterministic dataset order regardless of completion order
-            for f, e in zip(files, emotions):
-                wave, sr = decoded[f]
-                by_sr.setdefault(sr, []).append((wave[0], e))
+            waves = [decoded[f][0][0] for f in files]
+            srs = [decoded[f][1] for f in files]
         else:
-            for f, e in zip(files, emotions):
-                wave, sr = read_wav(f)
-                by_sr.setdefault(sr, []).append((wave[0], e))
-        seg_len = int(round(self.cfg.segment_seconds * target_sr))
-        for sr, items in by_sr.items():
-            waves = [w for w, _ in items]
-            if sr != target_sr:
-                import math
+            pairs = [read_wav(f) for f in files]
+            waves = [w[0] for w, _ in pairs]
+            srs = [sr for _, sr in pairs]
 
+        # resample per sample-rate group in one batched device call, then
+        # reassemble in ORIGINAL file order — `EAVDataSplit` depends on the
+        # dataset's temporal order (ingest/split.py)
+        import math
+
+        resampled: dict = {}
+        for sr in sorted(set(srs)):
+            idxs = [i for i, r in enumerate(srs) if r == sr]
+            group = [waves[i] for i in idxs]
+            if sr != target_sr:
                 g = math.gcd(target_sr, sr)
-                same_len = len({len(w) for w in waves}) == 1
-                if same_len:
-                    batch = np.stack(waves)
-                    res = np.asarray(resample_poly(batch, target_sr // g, sr // g))
-                    waves = list(res)
+                if len({len(w) for w in group}) == 1:
+                    res = np.asarray(resample_poly(np.stack(group), target_sr // g, sr // g))
+                    group = list(res)
                 else:
-                    waves = [
+                    group = [
                         np.asarray(resample_poly(w, target_sr // g, sr // g))
-                        for w in waves
+                        for w in group
                     ]
-            for w, (_, e) in zip(waves, items):
-                s = segment_waveform(np.asarray(w), seg_len)
-                segs.append(s)
-                labels.extend([EMOTION_TO_INDEX[e]] * len(s))
+            for i, w in zip(idxs, group):
+                resampled[i] = w
+
+        seg_len = int(round(self.cfg.segment_seconds * target_sr))
+        segs, labels = [], []
+        for i, e in enumerate(emotions):
+            s = segment_waveform(np.asarray(resampled[i]), seg_len)
+            segs.append(s)
+            labels.extend([EMOTION_TO_INDEX[e]] * len(s))
         feature = np.concatenate(segs, axis=0).astype(np.float32)
         return feature, np.asarray(labels, np.int32)
 

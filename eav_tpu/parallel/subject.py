@@ -100,8 +100,13 @@ class SubjectParallelTrainer:
 
         if init_params is None:
             params, bstats = jax.vmap(init_one)(init_keys, tr_x)
-        else:
+        elif isinstance(init_params, tuple) and len(init_params) == 2:
             params, bstats = init_params
+        else:
+            # bare stacked params (matching JitTrainer.fit's init_params);
+            # batch stats come from a fresh init
+            params = init_params
+            _, bstats = jax.vmap(init_one)(init_keys, tr_x)
         opt_state = jax.vmap(init_adam_state)(params)
 
         # masks are identical across subjects (same structure)

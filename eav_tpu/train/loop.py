@@ -395,6 +395,17 @@ class JitTrainer:
                     f"[phase freeze={phase_cfg.freeze}] "
                     f"final train_acc={hist_tr[-1][-1]:.3f} test_acc={hist_te[-1][-1]:.3f}"
                 )
+        if not hist_loss:
+            # fully resumed from checkpoints: no phases ran — reconstruct the
+            # result from the restored state (NaN-marked training history)
+            outputs_test = self.predict(params, bstats, te_x)
+            acc = float((np.argmax(outputs_test, -1) == np.asarray(te_y)).mean())
+            history = {
+                "loss": np.array([np.nan]),
+                "train_acc": np.array([np.nan]),
+                "test_acc": np.array([acc]),
+            }
+            return TrainResult(params, bstats, history, outputs_test, None)
         history = {
             "loss": np.concatenate(hist_loss),
             "train_acc": np.concatenate(hist_tr),

@@ -19,6 +19,7 @@ import os
 from dataclasses import asdict
 from typing import Callable, Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from eav_tpu.core import metrics as M
@@ -133,9 +134,9 @@ class ModalityPipelines:
 
     # -- per-modality feature loading -------------------------------------
 
-    def load_eeg(self, subject: int):
-        preset = self.presets["eeg"]
-        cfg = preset.eeg or EEGPreprocConfig()
+    def load_eeg(self, subject: int, preset_key: str = "eeg"):
+        preset = self.presets.get(preset_key) or self.presets["eeg"]
+        cfg = preset.eeg or (self.presets["eeg"].eeg or EEGPreprocConfig())
 
         def compute():
             from eav_tpu.ingest.eeg import DataLoadEEG
@@ -207,15 +208,16 @@ class ModalityPipelines:
 
     def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:
         preset = self.presets[preset_key]
-        x, y = self.load_eeg(subject)
+        x, y = self.load_eeg(subject, preset_key)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
         model, kw = build_model(preset)
         trainer = JitTrainer(model, preset.finetune, **kw)
         result = trainer.fit(data, seed=self.seed + subject)
-        self._save_logits(
-            subject, preset_key, "train",
-            trainer.predict(result.params, result.batch_stats, data[0]),
-        )
+        if self.logits_dir is not None:
+            self._save_logits(
+                subject, preset_key, "train",
+                trainer.predict(result.params, result.batch_stats, data[0]),
+            )
         return self._finish(subject, preset_key, preset, trainer, result, data[3], None)
 
     def run_audio(self, subject: int, frontend: str = "fbank") -> TaskResult:
@@ -227,10 +229,11 @@ class ModalityPipelines:
         init_params = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)
         result = trainer.fit(data, seed=self.seed + subject, init_params=init_params)
-        self._save_logits(
-            subject, key, "train",
-            trainer.predict(result.params, result.batch_stats, data[0]),
-        )
+        if self.logits_dir is not None:
+            self._save_logits(
+                subject, key, "train",
+                trainer.predict(result.params, result.batch_stats, data[0]),
+            )
         return self._finish(subject, key, preset, trainer, result, data[3], None)
 
     def run_vision(self, subject: int, preset_key: str = "vision") -> TaskResult:
@@ -250,10 +253,11 @@ class ModalityPipelines:
         trainer = JitTrainer(model, preset.finetune, **kw)
         result = trainer.fit((tr_f, tr_fy, te_f, te_fy), seed=self.seed + subject,
                              init_params=init_params)
-        tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
-        self._save_logits(
-            subject, preset_key, "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
-        )
+        if self.logits_dir is not None:
+            tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
+            self._save_logits(
+                subject, preset_key, "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
+            )
         return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps)
 
     def run_stacked(self, subjects, modality: str = "eeg") -> Dict[int, TaskResult]:
@@ -265,8 +269,8 @@ class ModalityPipelines:
 
         preset = self.presets[modality]
         loaders = {
-            "eeg": self.load_eeg,
-            "eeg_conformer": self.load_eeg,
+            "eeg": lambda s: self.load_eeg(s, "eeg"),
+            "eeg_conformer": lambda s: self.load_eeg(s, "eeg_conformer"),
             "audio": lambda s: self.load_audio(s, "fbank"),
             "audio_scnn": lambda s: self.load_audio(s, "scnn180"),
         }
@@ -288,11 +292,20 @@ class ModalityPipelines:
             stack, seeds=[self.seed + s for s in subjects]
         )
         out: Dict[int, TaskResult] = {}
+        inner = JitTrainer(model, preset.finetune, **kw)
         for i, s in enumerate(subjects):
             logits = stacked.outputs_test[i]
             pred = np.argmax(logits, axis=-1)
             summary = M.classification_summary(stack[3][i], pred, 5)
             self._save_logits(s, modality, "test", logits)
+            if self.logits_dir is not None:
+                # train-split logits per subject so fusion works after a
+                # subject-parallel sweep too
+                params_i = jax.tree.map(lambda p: p[i], stacked.params)
+                bstats_i = jax.tree.map(lambda b: b[i], stacked.batch_stats)
+                self._save_logits(
+                    s, modality, "train", inner.predict(params_i, bstats_i, stack[0][i])
+                )
             out[s] = TaskResult(
                 metrics={
                     "accuracy": summary["accuracy"],
@@ -306,8 +319,16 @@ class ModalityPipelines:
     def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
         return self.run_stacked(subjects, "eeg")
 
-    def run_fusion(self, subject: int) -> TaskResult:
-        """Late fusion over archived per-trial logits (BASELINE config 5)."""
+    def run_fusion(self, subject: int, strict: bool = True) -> TaskResult:
+        """Late fusion over archived per-trial logits (BASELINE config 5).
+
+        ``strict=True`` (production) requires equal, class-divisible row
+        counts across modalities — truncation would silently misalign the
+        per-class blocks that the label reconstruction assumes. Tests may
+        pass strict=False to exercise the mechanism on unaligned synthetic
+        data (labels then cover only the common prefix)."""
+        if self.logits_dir is None:
+            raise ValueError("run_fusion requires logits_dir (archived per-trial logits)")
         preset = self.presets["fusion"]
         mods = ("eeg", "audio", "vision")
 
@@ -316,7 +337,14 @@ class ModalityPipelines:
                 np.load(os.path.join(self.logits_dir, f"s{subject:02d}_{m}_{split}.npy"))
                 for m in mods
             ]
-            n = min(len(p) for p in parts)
+            lens = {m: len(p) for m, p in zip(mods, parts)}
+            n = min(lens.values())
+            if strict and (len(set(lens.values())) != 1 or n % 5 != 0):
+                raise ValueError(
+                    f"modality logit counts misaligned for subject {subject}: {lens} "
+                    "(per-class blocks would not line up; re-archive logits)"
+                )
+            n -= n % 5
             return np.stack([p[:n] for p in parts], axis=1).astype(np.float32)
 
         tr = load("train")

@@ -129,3 +129,22 @@ def test_phase_checkpoint_resume(tmp_path, tiny_data):
     b = jax.tree.leaves(resumed.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6)
+
+
+def test_fully_resumed_fit_returns_result(tmp_path, tiny_data):
+    """A rerun whose every phase is already checkpointed must return the
+    saved final state instead of crashing (empty-history edge)."""
+    model = ast_tiny()
+    cfg = FinetuneConfig(
+        model="ast", batch_size=8, optimizer="adamw", weight_decay=0.01,
+        phases=(PhaseConfig(epochs=1, lr=5e-4, freeze=True),),
+    )
+    trainer = JitTrainer(model, cfg)
+    ck = str(tmp_path / "ck")
+    full = trainer.fit(tiny_data, seed=0, checkpoint_dir=ck)
+    resumed = trainer.fit(tiny_data, seed=0, checkpoint_dir=ck)
+    np.testing.assert_allclose(
+        resumed.outputs_test, full.outputs_test, rtol=1e-5, atol=1e-6
+    )
+    assert np.isnan(resumed.history["train_acc"][-1])
+    assert resumed.history["test_acc"][-1] >= 0.0

@@ -149,9 +149,12 @@ def test_full_pipeline_and_sweep(tmp_path, rng):
     # feature caches exist and make the second load instant
     assert len(os.listdir(out / "cache")) >= 3
     # archived logits enable fusion when counts align — here EEG has 80
-    # trials vs audio 20 vs vision 10, so fusion truncates to the min count;
-    # the mechanism still runs end-to-end:
-    fus = pipelines.run_fusion(1)
+    # trials vs audio 20 vs vision 10, so strict mode must refuse (silent
+    # truncation would misalign class blocks) while non-strict exercises the
+    # mechanism end-to-end:
+    with pytest.raises(ValueError, match="misaligned"):
+        pipelines.run_fusion(1)
+    fus = pipelines.run_fusion(1, strict=False)
     assert 0.0 <= fus.metrics["accuracy"] <= 1.0
 
     # resume is a no-op
