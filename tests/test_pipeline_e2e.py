@@ -188,3 +188,7 @@ def test_subject_parallel_eeg_pipeline(tmp_path, rng):
     assert state["subject02_eeg"]["status"] == "done"
     agg = runner.aggregate()
     assert agg["eeg"]["n_subjects"] == 2
+    # the stacked path must archive BOTH splits' logits so fusion can follow
+    for s_ in (1, 2):
+        for split in ("train", "test"):
+            assert (out / "logits" / f"s{s_:02d}_eeg_{split}.npy").exists()
