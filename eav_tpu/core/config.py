@@ -252,6 +252,8 @@ def _vit_finetune() -> FinetuneConfig:
             PhaseConfig(epochs=5, lr=5e-6, freeze=False),
         ),
         vote_group=25,
+        # raw uint8 frames to device; resize+normalize fold into the model
+        model_kwargs={"preprocess_uint8": True},
     )
 
 

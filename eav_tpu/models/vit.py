@@ -27,6 +27,11 @@ class ViT(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "xla"
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
+    # Fold the ViTImageProcessor recipe (bilinear resize to image_size,
+    # rescale 1/255, normalize mean/std 0.5) into the model so the data
+    # pipeline can ship raw uint8 frames to the device (4x less transfer
+    # than host-preprocessed float32).
+    preprocess_uint8: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -34,8 +39,19 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """``x``: (B, H, W, 3) NHWC, already processor-normalized."""
+        """``x``: (B, H, W, 3) NHWC — processor-normalized floats, or raw
+        uint8 frames when ``preprocess_uint8`` (any H, W)."""
         b = x.shape[0]
+        if self.preprocess_uint8:
+            import jax
+
+            x = jnp.asarray(x, jnp.float32)
+            if x.shape[1:3] != (self.image_size, self.image_size):
+                x = jax.image.resize(
+                    x, (b, self.image_size, self.image_size, x.shape[-1]),
+                    method="bilinear", antialias=True,
+                )
+            x = (x / 255.0 - 0.5) / 0.5
         x = nn.Conv(
             self.hidden,
             (self.patch_size, self.patch_size),

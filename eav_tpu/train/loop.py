@@ -257,7 +257,8 @@ class JitTrainer:
         """Eval-mode logits for an arbitrary split (used by the fusion stage
         to collect train-trial scores)."""
         bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
-        x = jnp.asarray(x, jnp.float32)
+        x = np.asarray(x)
+        x = jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
         if not hasattr(self, "_predict_jit"):
             self._predict_jit = jax.jit(self._apply_eval)
         apply = self._predict_jit
@@ -295,8 +296,15 @@ class JitTrainer:
         resumes after the last completed phase (SURVEY.md §5 checkpoint
         row)."""
         tr_x, tr_y, te_x, te_y = data
-        tr_x = jnp.asarray(tr_x, jnp.float32)
-        te_x = jnp.asarray(te_x, jnp.float32)
+
+        def to_device(x):
+            # keep uint8 as-is (4x smaller transfer; models with
+            # preprocess_uint8 normalize on device), else float32
+            x = np.asarray(x)
+            return jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
+
+        tr_x = to_device(tr_x)
+        te_x = to_device(te_x)
         tr_y = jnp.asarray(np.asarray(tr_y).reshape(-1), jnp.int32)
         te_y = jnp.asarray(np.asarray(te_y).reshape(-1), jnp.int32)
         if mesh is not None:

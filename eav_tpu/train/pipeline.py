@@ -245,9 +245,11 @@ class ModalityPipelines:
         fps = x.shape[1]
         tr_f, tr_fy = flatten_trials_to_frames(tr_x, tr_y)
         te_f, te_fy = flatten_trials_to_frames(te_x, te_y)
-        size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
-        tr_f = preprocess_frames(tr_f, size=size)
-        te_f = preprocess_frames(te_f, size=size)
+        if not (preset.finetune.model_kwargs or {}).get("preprocess_uint8"):
+            # host path: model expects processor-normalized floats
+            size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
+            tr_f = preprocess_frames(tr_f, size=size)
+            te_f = preprocess_frames(te_f, size=size)
         model, kw = build_model(preset)
         init_params = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)

@@ -122,3 +122,22 @@ def test_mtcnn_cropper_fallback_shapes(rng):
     crops = det.crop_faces(frames)
     assert crops.shape == (2, 56, 56, 3)
     assert crops.dtype == np.uint8
+
+
+def test_vit_uint8_preprocessing_matches_host_path(rng):
+    """ViT(preprocess_uint8=True) on raw uint8 == ViT on host-preprocessed."""
+    import jax.numpy as jnp
+
+    from eav_tpu.models.vit import ViT
+
+    frames = rng.integers(0, 255, size=(2, 56, 56, 3), dtype=np.uint8)
+    m_host = ViT(num_labels=5, hidden=32, layers=1, heads=2, mlp_dim=64, image_size=64)
+    m_dev = ViT(
+        num_labels=5, hidden=32, layers=1, heads=2, mlp_dim=64, image_size=64,
+        preprocess_uint8=True,
+    )
+    v = m_dev.init(jax.random.PRNGKey(0), jnp.asarray(frames), train=False)
+    host_in = preprocess_frames(frames, size=64)
+    out_host = np.asarray(m_host.apply(v, jnp.asarray(host_in), train=False))
+    out_dev = np.asarray(m_dev.apply(v, jnp.asarray(frames), train=False))
+    np.testing.assert_allclose(out_dev, out_host, rtol=2e-4, atol=2e-4)
