@@ -38,21 +38,37 @@ def _unflatten(flat):
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a (nested-dict) pytree. Uses Orbax when available, else npz."""
+    """Save a (nested-dict) pytree. Uses Orbax when available, else npz.
+
+    Only an *unavailable* Orbax (ImportError) falls back to npz; a real Orbax
+    failure (e.g. partial write) propagates rather than being masked. A
+    successful Orbax save removes any stale npz at the same path so the
+    fallback artifact can never shadow a newer checkpoint on load."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True)
-        ckptr.wait_until_finished()
-    except Exception:
+    except ImportError:
         np.savez(path + ".npz", **_flatten(tree))
+        return
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True)
+    ckptr.wait_until_finished()
+    if os.path.exists(path + ".npz"):
+        os.remove(path + ".npz")
 
 
 def load_pytree(path: str, template: Optional[Any] = None) -> Any:
-    if os.path.exists(path + ".npz"):
-        return _unflatten(dict(np.load(path + ".npz")))
+    """Load a pytree saved by save_pytree. When both an Orbax directory and an
+    npz exist (e.g. written by different environments), the newer one wins."""
+    npz = path + ".npz" if os.path.exists(path + ".npz") else None
+    orbax_dir = path if os.path.isdir(path) else None
+    if npz and orbax_dir:
+        if os.path.getmtime(npz) >= os.path.getmtime(orbax_dir):
+            orbax_dir = None
+        else:
+            npz = None
+    if npz:
+        return _unflatten(dict(np.load(npz)))
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

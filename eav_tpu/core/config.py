@@ -225,11 +225,14 @@ def _scnn_finetune() -> FinetuneConfig:
 def _ast_finetune() -> FinetuneConfig:
     # Reference `Dataload_audio.py:110-114`: AdamW, bs 8, 10 ep lr 5e-4 frozen
     # -> 15 ep lr 5e-6 unfrozen; one optimizer across phases.
+    # weight_decay: the reference builds `optim.AdamW(params, lr)` without
+    # passing its own wd through (`Transformer_Audio.py:30`), so torch's
+    # DEFAULT wd=0.01 is the effective value — replicated here (core/optim.py).
     return FinetuneConfig(
         model="ast",
         batch_size=8,
         optimizer="adamw",
-        weight_decay=1e-5,
+        weight_decay=0.01,
         phases=(
             PhaseConfig(epochs=10, lr=5e-4, freeze=True),
             PhaseConfig(epochs=15, lr=5e-6, freeze=False),
@@ -242,11 +245,13 @@ def _vit_finetune() -> FinetuneConfig:
     # Reference `Dataload_vision.py:140-141`: bs 128, 10 ep 5e-4 frozen ->
     # 5 ep 5e-6 unfrozen; trial vote = mean logits over 25 frames
     # (`Transformer_Vision.py:178-180`).
+    # weight_decay: `optim.AdamW(params, lr)` (`Transformer_Vision.py:36`)
+    # leaves torch's default wd=0.01 in effect — replicated here.
     return FinetuneConfig(
         model="vit",
         batch_size=128,
         optimizer="adamw",
-        weight_decay=0.0,
+        weight_decay=0.01,
         phases=(
             PhaseConfig(epochs=10, lr=5e-4, freeze=True),
             PhaseConfig(epochs=5, lr=5e-6, freeze=False),

@@ -69,6 +69,10 @@ int eav_read_wav(const char* path, float** out, int* channels, long* samples,
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      if (size < 16) {  // PCM fmt chunk is >= 16 bytes; anything less is corrupt
+        fclose(f);
+        return fail("fmt chunk too small");
+      }
       std::vector<unsigned char> fmt(size);
       if (fread(fmt.data(), 1, size, f) != size) break;
       memcpy(&audio_format, fmt.data(), 2);
@@ -167,12 +171,16 @@ bool next_element(Cursor& c, Element* el) {
   uint32_t tag[2];
   if (!c.read(tag, 8)) return false;
   uint32_t mi = tag[0], nbytes = tag[1];
-  if (mi >> 16) {  // small element
+  if (mi >> 16) {  // small element: <= 4 data bytes packed into the tag
     el->mi_type = mi & 0xFFFF;
     el->size = mi >> 16;
+    if (el->size > 4) return false;
     el->data = c.ptr() - 4;
     return true;
   }
+  // bound the element by the remaining buffer — truncated/corrupt files must
+  // fail cleanly (like the Python fallbacks), not read out of bounds
+  if (nbytes > c.n - c.off) return false;
   el->mi_type = mi;
   el->size = nbytes;
   el->data = c.ptr();
@@ -243,6 +251,7 @@ int eav_read_mat_var(const char* path, const char* name, double** out,
     if (!next_element(m, &flags) || !next_element(m, &dims) ||
         !next_element(m, &nm))
       continue;
+    if (flags.size < 1 || dims.size % 4 != 0) continue;
     uint8_t mx_class = flags.data[0];
     std::string vname((const char*)nm.data, nm.size);
     while (!vname.empty() && vname.back() == '\0') vname.pop_back();

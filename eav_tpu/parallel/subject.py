@@ -80,8 +80,15 @@ class SubjectParallelTrainer:
         checkpoint broadcast to all subjects)."""
         tr_x, tr_y, te_x, te_y = data
         S = tr_x.shape[0]
-        tr_x = jnp.asarray(tr_x, jnp.float32)
-        te_x = jnp.asarray(te_x, jnp.float32)
+
+        def to_device(x):
+            # mirror JitTrainer.fit: keep uint8 as-is (4x smaller transfer;
+            # preprocess_uint8 models normalize on device), else float32
+            x = np.asarray(x)
+            return jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
+
+        tr_x = to_device(tr_x)
+        te_x = to_device(te_x)
         tr_y = jnp.asarray(tr_y, jnp.int32)
         te_y = jnp.asarray(te_y, jnp.int32)
         seeds = list(seeds) if seeds is not None else list(range(S))

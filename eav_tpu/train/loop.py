@@ -10,8 +10,9 @@ fine-tunes therefore run with zero host round-trips.
 
 Protocol parity:
 - shuffled batches with a final partial batch (torch DataLoader
-  ``drop_last=False``) — emulated by padding the permutation and weighting
-  the loss by valid-sample masks, so batch-mean loss matches torch exactly;
+  ``drop_last=False``) — the remainder batch runs at its TRUE size as a
+  second static shape, so batch-mean loss AND BatchNorm batch statistics
+  match torch exactly (no padded duplicate rows);
 - freeze -> unfreeze with ONE optimizer whose lr is swapped between phases
   (`Transformer_Audio.py:45-48`), per-leaf step counts (core/optim.py);
 - max-norm projections applied after each update (`EEGNet_tor.py:33-34`);
@@ -108,15 +109,23 @@ class JitTrainer:
     def _phase_pieces(self, mask, n_train: int, n_test: int):
         """Shared building blocks: (train_step, eval_logits, batching dims).
         Both phase implementations compose these identically, so they are
-        bit-for-bit equivalent (same RNG split order, same padded batching)."""
+        bit-for-bit equivalent (same RNG split order, same exact batching).
+
+        Batching matches torch DataLoader ``drop_last=False`` exactly: the
+        final partial batch runs at its TRUE size (a second static shape)
+        rather than padded — so BatchNorm batch statistics never see padded
+        duplicate rows. ``steps_full`` full batches go through ``lax.scan``;
+        the remainder (if any) is one extra ``train_step`` call per epoch."""
         cfg = self.cfg
         bs = min(cfg.batch_size, n_train)
-        steps = -(-n_train // bs)
-        pad = steps * bs - n_train
+        steps_full = n_train // bs
+        rem = n_train % bs
         eval_bs = min(cfg.eval_batch_size or bs, n_test)
         eval_steps = -(-n_test // eval_bs)
 
         def eval_logits(params, bstats, te_x):
+            # eval may pad (clamped indices): no mutable state, and the
+            # padded rows are sliced off the result
             idx = jnp.arange(eval_steps * eval_bs)
             idx = jnp.minimum(idx, n_test - 1).reshape(eval_steps, eval_bs)
 
@@ -129,9 +138,8 @@ class JitTrainer:
         def train_step(carry, idx, tr_x, tr_y, lr):
             params, bstats, opt_state, rng = carry
             rng, kd = jax.random.split(rng)
-            w = (idx < n_train).astype(jnp.float32)
-            ix = jnp.minimum(idx, n_train - 1)
-            bx, by = tr_x[ix], tr_y[ix]
+            bx, by = tr_x[idx], tr_y[idx]
+            w = jnp.ones(idx.shape, jnp.float32)
 
             def loss_fn(p):
                 logits, new_bstats = self._apply_train(p, bstats, bx, kd)
@@ -160,21 +168,20 @@ class JitTrainer:
             )
             if self.maxnorm_rules:
                 params = maxnorm_project(params, self.maxnorm_rules)
-            correct = ((jnp.argmax(logits, -1) == by) * w).sum()
+            correct = (jnp.argmax(logits, -1) == by).sum(dtype=jnp.float32)
             return (params, bstats_new, opt_state, rng), (loss, correct)
 
         def epoch_perm(rng_key):
-            perm = jax.random.permutation(rng_key, n_train)
-            return jnp.concatenate(
-                [perm, jnp.full((pad,), n_train, perm.dtype)]
-            ).reshape(steps, bs)
+            return jax.random.permutation(rng_key, n_train)
 
-        return train_step, eval_logits, epoch_perm
+        return train_step, eval_logits, epoch_perm, (bs, steps_full, rem)
 
     def _build_phase(self, mask, epochs: int, n_train: int, n_test: int, jit: bool = True):
         """The fused phase program: lax.scan over epochs around lax.scan over
         steps — ONE device program per phase (the TPU path)."""
-        train_step, eval_logits, epoch_perm = self._phase_pieces(mask, n_train, n_test)
+        train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
+            self._phase_pieces(mask, n_train, n_test)
+        )
 
         def phase(params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr):
             def step_body(carry, idx):
@@ -187,8 +194,14 @@ class JitTrainer:
                 rng, kp = jax.random.split(rng)
                 perm = epoch_perm(kp)
                 carry2, (losses, corrects) = jax.lax.scan(
-                    step_body, (params, bstats, opt_state, rng), perm
+                    step_body,
+                    (params, bstats, opt_state, rng),
+                    perm[: steps_full * bs].reshape(steps_full, bs),
                 )
+                if rem:  # final partial batch at its true size (static shape)
+                    carry2, (loss_r, corr_r) = step_body(carry2, perm[steps_full * bs :])
+                    losses = jnp.concatenate([losses, loss_r[None]])
+                    corrects = jnp.concatenate([corrects, corr_r[None]])
                 params, bstats, opt_state, rng = carry2
                 train_acc = corrects.sum() / n_train
                 te_logits = eval_logits(params, bstats, te_x)
@@ -220,7 +233,9 @@ class JitTrainer:
         generic path (>100x on this host), so on the CPU backend each step is
         its own jitted call; TPU always uses the fused scan program."""
         n_train, n_test = int(tr_x.shape[0]), int(te_x.shape[0])
-        train_step, eval_logits, epoch_perm = self._phase_pieces(mask, n_train, n_test)
+        train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
+            self._phase_pieces(mask, n_train, n_test)
+        )
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         eval_jit = jax.jit(eval_logits)
         carry = (params, bstats, opt_state, rng)
@@ -232,8 +247,11 @@ class JitTrainer:
             perm = epoch_perm(kp)
             carry = (params, bstats, opt_state, rng)
             losses, corrects = [], []
-            for s in range(perm.shape[0]):
-                carry, (l, c) = step_jit(carry, perm[s], tr_x, tr_y, lr)
+            batches = [perm[s * bs : (s + 1) * bs] for s in range(steps_full)]
+            if rem:
+                batches.append(perm[steps_full * bs :])
+            for b in batches:
+                carry, (l, c) = step_jit(carry, b, tr_x, tr_y, lr)
                 losses.append(l)
                 corrects.append(c)
             params, bstats, opt_state, rng = carry
