@@ -62,12 +62,17 @@ def cmd_run(args) -> int:
     )
     runner = SweepRunner(cfg, pipelines.task_fn)
     if args.subject_parallel > 1:
-        for mod in ("eeg", "eeg_conformer", "audio", "audio_scnn"):
+        for mod in ("eeg", "eeg_conformer", "audio", "audio_scnn",
+                    "vision", "vision_resnet"):
             if mod in cfg.modalities:
+                # per-frame vision stacks are memory-heavy: halve the group
+                group = args.subject_parallel
+                if mod.startswith("vision"):
+                    group = max(1, group // 2)
                 runner.run_batched(
                     mod,
                     lambda subs, m=mod: pipelines.run_stacked(subs, m),
-                    group_size=args.subject_parallel,
+                    group_size=group,
                 )
     runner.run(verbose=True)
     print(json.dumps(runner.aggregate(), indent=2))

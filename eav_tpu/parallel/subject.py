@@ -35,6 +35,10 @@ class StackedResult(NamedTuple):
     batch_stats: Any
     history: Dict[str, np.ndarray]  # (subjects, epochs)
     outputs_test: np.ndarray  # (subjects, n_test, classes)
+    # (subjects, epochs, n_test, classes) when cfg.keep_epoch_logits — the
+    # reference's ActivationSaver pattern (`CNN_audio.py:48-72`), preserved
+    # through the subject-parallel path too
+    epoch_logits: Optional[np.ndarray] = None
 
 
 class SubjectParallelTrainer:
@@ -121,6 +125,7 @@ class SubjectParallelTrainer:
         n_train, n_test = int(tr_x.shape[1]), int(te_x.shape[1])
 
         hist = {"loss": [], "train_acc": [], "test_acc": []}
+        el_h = []
         outputs_test = None
         rngs = keys  # the post-split carry keys, matching JitTrainer.fit
         mesh = self._mesh_for(S)
@@ -150,13 +155,16 @@ class SubjectParallelTrainer:
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
             for chunk_epochs in chunks:
                 vphase = get_vphase(phase_cfg.freeze, mask, chunk_epochs)
-                params, bstats, opt_state, rngs, (lh, trh, teh, _el), logits = vphase(
+                params, bstats, opt_state, rngs, (lh, trh, teh, el), logits = vphase(
                     params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y, lr
                 )
                 hist["loss"].append(np.asarray(lh))
                 hist["train_acc"].append(np.asarray(trh))
                 hist["test_acc"].append(np.asarray(teh))
+                if el is not None:
+                    el_h.append(np.asarray(el))
                 outputs_test = np.asarray(logits)
 
         history = {k: np.concatenate(v, axis=1) for k, v in hist.items()}
-        return StackedResult(params, bstats, history, outputs_test)
+        epoch_logits = np.concatenate(el_h, axis=1) if el_h else None
+        return StackedResult(params, bstats, history, outputs_test, epoch_logits)

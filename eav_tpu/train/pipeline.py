@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import asdict
 from typing import Callable, Dict, Optional, Tuple
 
@@ -116,12 +117,18 @@ class ModalityPipelines:
         presets: Optional[Dict[str, PresetConfig]] = None,
         seed: int = 0,
         epochs_per_call: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional Mesh with a ``data`` axis — serial per-subject
+        fine-tunes of the large per-frame models (vision) run batch-DP across
+        it, the TPU-native replacement for the reference's ``nn.DataParallel``
+        over GPUs (`Transformer_Vision.py:82-83`)."""
         self.data_root = data_root
         self.cache_dir = cache_dir
         self.logits_dir = logits_dir
         self.seed = seed
         self.epochs_per_call = epochs_per_call
+        self.mesh = mesh
         self.presets = presets or {
             "eeg": get_preset("eegnet_subject"),
             "eeg_conformer": get_preset("conformer_eeg"),
@@ -184,7 +191,8 @@ class ModalityPipelines:
             os.path.join(self.logits_dir, f"s{subject:02d}_{modality}_{split}.npy"), logits
         )
 
-    def _finish(self, subject, modality, preset, trainer, result, te_y, vote_group):
+    def _finish(self, subject, modality, preset, trainer, result, te_y, vote_group,
+                fit_seconds: Optional[float] = None, n_train: Optional[int] = None):
         logits = result.outputs_test
         if vote_group:
             tl, pred = M.trial_vote(logits, vote_group)
@@ -197,13 +205,17 @@ class ModalityPipelines:
             pred = np.argmax(logits, axis=-1)
             summary = M.classification_summary(np.asarray(te_y), pred, 5)
             self._save_logits(subject, modality, "test", logits)
+        epochs = int(len(result.history["test_acc"]))
         metrics = {
             "accuracy": summary["accuracy"],
             "weighted_f1": summary["weighted_f1"],
             "confusion": summary["confusion"],
             "final_train_acc": float(result.history["train_acc"][-1]),
-            "epochs": int(len(result.history["test_acc"])),
+            "epochs": epochs,
         }
+        if fit_seconds and n_train:  # SURVEY.md §5 metrics row: samples/sec
+            metrics["fit_seconds"] = round(fit_seconds, 3)
+            metrics["samples_per_sec"] = round(epochs * n_train / fit_seconds, 2)
         return TaskResult(metrics=metrics, artifacts={"params": result.params})
 
     def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:
@@ -212,13 +224,16 @@ class ModalityPipelines:
         data = eav_split(x, y, h_idx=preset.split.h_idx)
         model, kw = build_model(preset)
         trainer = JitTrainer(model, preset.finetune, **kw)
+        t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject)
+        fit_s = time.perf_counter() - t0
         if self.logits_dir is not None:
             self._save_logits(
                 subject, preset_key, "train",
                 trainer.predict(result.params, result.batch_stats, data[0]),
             )
-        return self._finish(subject, preset_key, preset, trainer, result, data[3], None)
+        return self._finish(subject, preset_key, preset, trainer, result, data[3], None,
+                            fit_seconds=fit_s, n_train=len(data[0]))
 
     def run_audio(self, subject: int, frontend: str = "fbank") -> TaskResult:
         key = "audio" if frontend == "fbank" else "audio_scnn"
@@ -228,13 +243,16 @@ class ModalityPipelines:
         model, kw = build_model(preset)
         init_params = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)
+        t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject, init_params=init_params)
+        fit_s = time.perf_counter() - t0
         if self.logits_dir is not None:
             self._save_logits(
                 subject, key, "train",
                 trainer.predict(result.params, result.batch_stats, data[0]),
             )
-        return self._finish(subject, key, preset, trainer, result, data[3], None)
+        return self._finish(subject, key, preset, trainer, result, data[3], None,
+                            fit_seconds=fit_s, n_train=len(data[0]))
 
     def run_vision(self, subject: int, preset_key: str = "vision") -> TaskResult:
         from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
@@ -253,20 +271,32 @@ class ModalityPipelines:
         model, kw = build_model(preset)
         init_params = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)
+        t0 = time.perf_counter()
         result = trainer.fit((tr_f, tr_fy, te_f, te_fy), seed=self.seed + subject,
-                             init_params=init_params)
+                             init_params=init_params, mesh=self.mesh)
+        fit_s = time.perf_counter() - t0
         if self.logits_dir is not None:
             tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
             self._save_logits(
                 subject, preset_key, "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
             )
-        return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps)
+        return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps,
+                            fit_seconds=fit_s, n_train=len(tr_f))
 
     def run_stacked(self, subjects, modality: str = "eeg") -> Dict[int, TaskResult]:
         """Subject-parallel fine-tunes: all subjects of one modality as ONE
         sharded program (parallel/subject.py) — the 42-subject sweep lever.
-        Supports the fixed-shape modalities (eeg, eeg_conformer, audio,
-        audio_scnn); per-frame vision is too large to stack."""
+
+        Supports every fixed-shape modality including vision (per-frame
+        samples, uint8-preserving transfer, trial-vote scoring); for the
+        per-frame models keep per-chip subject groups small (activation
+        memory scales with the stack).
+
+        Pretrained checkpoints (the reference's ``from_pretrained`` flow,
+        `Transformer_Audio.py:22-24` / `Transformer_Vision.py:28-30`) are
+        loaded exactly as in the serial path and broadcast across the subject
+        axis, so ``--subject-parallel`` sweeps start from the same init as
+        serial runs."""
         from eav_tpu.parallel.subject import SubjectParallelTrainer
 
         preset = self.presets[modality]
@@ -275,45 +305,93 @@ class ModalityPipelines:
             "eeg_conformer": lambda s: self.load_eeg(s, "eeg_conformer"),
             "audio": lambda s: self.load_audio(s, "fbank"),
             "audio_scnn": lambda s: self.load_audio(s, "scnn180"),
+            "vision": lambda s: self.load_vision(s, "vision"),
+            "vision_resnet": lambda s: self.load_vision(s, "vision_resnet"),
         }
         if modality not in loaders:
             raise KeyError(f"run_stacked does not support modality {modality!r}")
+        is_vision = modality in ("vision", "vision_resnet")
+        vote_group = None
         splits = []
         for s in subjects:
             x, y = loaders[modality](s)
-            splits.append(eav_split(x, y, h_idx=preset.split.h_idx))
+            sp = eav_split(x, y, h_idx=preset.split.h_idx)
+            if is_vision:
+                from eav_tpu.ingest.vision import (
+                    flatten_trials_to_frames,
+                    preprocess_frames,
+                )
+
+                vote_group = int(x.shape[1])  # frames per trial
+                tr_f, tr_fy = flatten_trials_to_frames(sp[0], sp[1])
+                te_f, te_fy = flatten_trials_to_frames(sp[2], sp[3])
+                if not (preset.finetune.model_kwargs or {}).get("preprocess_uint8"):
+                    size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
+                    tr_f = preprocess_frames(tr_f, size=size)
+                    te_f = preprocess_frames(te_f, size=size)
+                sp = (tr_f, tr_fy, te_f, te_fy)
+            splits.append(sp)
         shapes = {tuple(np.asarray(sp[0]).shape) for sp in splits}
         if len(shapes) != 1:
             raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
         model, kw = build_model(preset)
+        init_params = _pretrained_params(preset.finetune.model, 5)
+        if init_params is not None:
+            # broadcast the checkpoint across the subject axis (same init as
+            # the serial path's JitTrainer.fit(init_params=...))
+            S = len(subjects)
+            init_params = jax.tree.map(
+                lambda p: np.broadcast_to(np.asarray(p), (S,) + np.shape(p)),
+                init_params,
+            )
         sp_trainer = SubjectParallelTrainer(
             model, preset.finetune, epochs_per_call=self.epochs_per_call, **kw
         )
+        t0 = time.perf_counter()
         stacked = sp_trainer.fit_stacked(
-            stack, seeds=[self.seed + s for s in subjects]
+            stack, seeds=[self.seed + s for s in subjects], init_params=init_params
         )
+        fit_s = time.perf_counter() - t0
+        epochs = int(stacked.history["test_acc"].shape[1])
+        n_train = int(stack[0].shape[1])
         out: Dict[int, TaskResult] = {}
         inner = JitTrainer(model, preset.finetune, **kw)
         for i, s in enumerate(subjects):
             logits = stacked.outputs_test[i]
-            pred = np.argmax(logits, axis=-1)
-            summary = M.classification_summary(stack[3][i], pred, 5)
-            self._save_logits(s, modality, "test", logits)
+            if vote_group:
+                tl, pred = M.trial_vote(logits, vote_group)
+                if preset.finetune.vote_mode == "majority":
+                    pred = M.trial_majority_vote(logits, vote_group, 5)
+                te_y_trial = np.asarray(stack[3][i]).reshape(-1, vote_group)[:, 0]
+                summary = M.classification_summary(te_y_trial, np.asarray(pred), 5)
+                self._save_logits(s, modality, "test", np.asarray(tl))
+            else:
+                pred = np.argmax(logits, axis=-1)
+                summary = M.classification_summary(stack[3][i], pred, 5)
+                self._save_logits(s, modality, "test", logits)
             if self.logits_dir is not None:
                 # train-split logits per subject so fusion works after a
                 # subject-parallel sweep too
                 params_i = jax.tree.map(lambda p: p[i], stacked.params)
                 bstats_i = jax.tree.map(lambda b: b[i], stacked.batch_stats)
-                self._save_logits(
-                    s, modality, "train", inner.predict(params_i, bstats_i, stack[0][i])
-                )
+                tr_logits = inner.predict(params_i, bstats_i, stack[0][i])
+                if vote_group:
+                    tr_logits = np.asarray(M.trial_vote(tr_logits, vote_group)[0])
+                self._save_logits(s, modality, "train", tr_logits)
             out[s] = TaskResult(
                 metrics={
                     "accuracy": summary["accuracy"],
                     "weighted_f1": summary["weighted_f1"],
                     "final_train_acc": float(stacked.history["train_acc"][i, -1]),
-                    "epochs": int(stacked.history["test_acc"].shape[1]),
+                    "epochs": epochs,
+                    "fit_seconds": round(fit_s, 3),
+                    "group_size": len(subjects),
+                    # aggregate throughput of the stacked program (all
+                    # subjects trained concurrently in fit_seconds)
+                    "samples_per_sec": round(
+                        len(subjects) * epochs * n_train / fit_s, 2
+                    ),
                 }
             )
         return out

@@ -120,3 +120,99 @@ def test_chunked_epochs_match_single_program(rng):
     np.testing.assert_array_equal(
         a.history["test_acc"].shape, b.history["test_acc"].shape
     )
+
+
+def test_stacked_with_init_params_matches_serial(rng):
+    """Pretrained-checkpoint flow through the subject-parallel path: a single
+    checkpoint broadcast across the subject axis must reproduce the serial
+    ``JitTrainer.fit(init_params=...)`` result per subject (the reference's
+    ``from_pretrained`` fine-tune, `Transformer_Audio.py:22-24`)."""
+    import jax
+
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.ast import ast_tiny
+
+    model = ast_tiny(hidden=16, layers=1, heads=2, mlp_dim=32, max_frames=32,
+                     num_mel_bins=16)
+    S, n, nt = 2, 12, 8
+    x = rng.normal(size=(S, n, 32, 16)).astype(np.float32)
+    y = rng.integers(0, 5, (S, n)).astype(np.int32)
+    te_x = rng.normal(size=(S, nt, 32, 16)).astype(np.float32)
+    te_y = rng.integers(0, 5, (S, nt)).astype(np.int32)
+    cfg = FinetuneConfig(
+        model="ast", batch_size=8, optimizer="adamw", weight_decay=0.01,
+        phases=(PhaseConfig(epochs=2, lr=5e-4, freeze=True),
+                PhaseConfig(epochs=1, lr=5e-6, freeze=False)),
+    )
+    # the "checkpoint": params from an independent seed, as hf_import returns
+    ckpt = model.init({"params": jax.random.PRNGKey(99), "dropout": jax.random.PRNGKey(99)},
+                      jnp.asarray(x[0, :1]), train=False)["params"]
+    stacked_init = jax.tree.map(lambda p: np.broadcast_to(np.asarray(p), (S,) + p.shape), ckpt)
+    stacked = SubjectParallelTrainer(model, cfg).fit_stacked(
+        (x, y, te_x, te_y), seeds=[0, 1], init_params=stacked_init
+    )
+    for i in range(S):
+        serial = JitTrainer(model, cfg).fit(
+            (x[i], y[i], te_x[i], te_y[i]), seed=i, init_params=ckpt
+        )
+        np.testing.assert_allclose(
+            stacked.outputs_test[i], serial.outputs_test, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_stacked_vision_uint8_matches_serial(rng):
+    """Stacked ViT on raw uint8 frames == serial fits (the vision sweep
+    path, reference `Transformer_Vision.py:82-83` DataParallel analogue)."""
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.vit import ViT
+
+    S = 2
+    tr_x = rng.integers(0, 256, size=(S, 12, 16, 16, 3)).astype(np.uint8)
+    te_x = rng.integers(0, 256, size=(S, 8, 16, 16, 3)).astype(np.uint8)
+    tr_y = np.stack([np.arange(12) % 5 for _ in range(S)]).astype(np.int32)
+    te_y = np.stack([np.arange(8) % 5 for _ in range(S)]).astype(np.int32)
+    model = ViT(num_labels=5, hidden=16, layers=1, heads=2, mlp_dim=32,
+                patch_size=8, image_size=16, preprocess_uint8=True)
+    cfg = FinetuneConfig(
+        model="vit", batch_size=8, optimizer="adamw", weight_decay=0.01,
+        phases=(PhaseConfig(epochs=1, lr=5e-4, freeze=True),
+                PhaseConfig(epochs=1, lr=5e-6, freeze=False)),
+    )
+    stacked = SubjectParallelTrainer(model, cfg).fit_stacked(
+        (tr_x, tr_y, te_x, te_y), seeds=[3, 4]
+    )
+    for i, seed in enumerate([3, 4]):
+        serial = JitTrainer(model, cfg).fit(
+            (tr_x[i], tr_y[i], te_x[i], te_y[i]), seed=seed
+        )
+        np.testing.assert_allclose(
+            stacked.outputs_test[i], serial.outputs_test, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_stacked_keep_epoch_logits(rng):
+    """cfg.keep_epoch_logits survives the subject-parallel path (the
+    reference's per-epoch ActivationSaver dumps, `CNN_audio.py:48-72`)."""
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+
+    S, n, nt = 2, 16, 8
+    x = rng.normal(size=(S, n, 4, 32)).astype(np.float32)
+    y = rng.integers(0, 5, (S, n)).astype(np.int32)
+    te_x = rng.normal(size=(S, nt, 4, 32)).astype(np.float32)
+    te_y = rng.integers(0, 5, (S, nt)).astype(np.int32)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=8, optimizer="adam", weight_decay=0.0,
+        phases=(PhaseConfig(epochs=3, lr=1e-3, freeze=False),),
+        keep_epoch_logits=True,
+    )
+    model = EEGNet(chans=4, samples=32, kern_length=8, dropout_rate=0.0)
+    res = SubjectParallelTrainer(model, cfg, epochs_per_call=2).fit_stacked(
+        (x, y, te_x, te_y), seeds=[0, 1]
+    )
+    assert res.epoch_logits is not None
+    assert res.epoch_logits.shape == (S, 3, nt, 5)
+    # final epoch's logits == the returned outputs_test
+    np.testing.assert_allclose(
+        res.epoch_logits[:, -1], res.outputs_test, rtol=1e-5, atol=1e-6
+    )

