@@ -148,3 +148,102 @@ def test_fully_resumed_fit_returns_result(tmp_path, tiny_data):
     )
     assert np.isnan(resumed.history["train_acc"][-1])
     assert resumed.history["test_acc"][-1] >= 0.0
+
+
+def test_adamw_trajectory_matches_torch_freeze_unfreeze():
+    """Multi-step trajectory parity vs torch.optim.AdamW across a freeze ->
+    unfreeze flip (VERDICT round-1 missing #5).
+
+    The reference keeps ONE AdamW across phases and freezes via
+    ``requires_grad=False`` (`Transformer_Audio.py:30,45-56`): frozen params
+    get no moment update, no weight decay, and their per-parameter step count
+    does not advance — bias correction restarts when they unfreeze. This
+    compares core/optim.adam_update against torch leaf-for-leaf over
+    5 frozen + 7 unfrozen steps (with an lr swap) in float64."""
+    import jax.numpy as jnp
+    import torch
+
+    from eav_tpu.core.optim import adam_update, init_adam_state
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(0)
+        W1 = rng.normal(size=(8, 6)) * 0.3
+        b1 = rng.normal(size=(8,)) * 0.1
+        W2 = rng.normal(size=(5, 8)) * 0.3
+        b2 = rng.normal(size=(5,)) * 0.1
+        X = rng.normal(size=(16, 6))
+        Y = rng.integers(0, 5, size=16)
+
+        # --- torch side: one AdamW (default wd=0.01), requires_grad flips
+        lin1 = torch.nn.Linear(6, 8).double()
+        lin2 = torch.nn.Linear(8, 5).double()
+        with torch.no_grad():
+            lin1.weight.copy_(torch.from_numpy(W1))
+            lin1.bias.copy_(torch.from_numpy(b1))
+            lin2.weight.copy_(torch.from_numpy(W2))
+            lin2.bias.copy_(torch.from_numpy(b2))
+        opt = torch.optim.AdamW(
+            [lin1.weight, lin1.bias, lin2.weight, lin2.bias], lr=5e-3
+        )
+        xt, yt = torch.from_numpy(X), torch.from_numpy(Y)
+
+        def torch_phase(n_steps, freeze, lr):
+            for g in opt.param_groups:
+                g["lr"] = lr
+            for p in (lin1.weight, lin1.bias):
+                p.requires_grad_(not freeze)
+            for _ in range(n_steps):
+                opt.zero_grad()
+                logits = lin2(torch.tanh(lin1(xt)))
+                torch.nn.functional.cross_entropy(logits, yt).backward()
+                opt.step()
+
+        torch_phase(5, freeze=True, lr=5e-3)
+        torch_phase(7, freeze=False, lr=1e-3)
+
+        # --- jax side: per-leaf-count adam_update with mask flips
+        params = {
+            "backbone": {"w": jnp.asarray(W1), "b": jnp.asarray(b1)},
+            "head": {"w": jnp.asarray(W2), "b": jnp.asarray(b2)},
+        }
+        state = init_adam_state(params)
+        Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+        def loss_fn(p):
+            h = jnp.tanh(Xj @ p["backbone"]["w"].T + p["backbone"]["b"])
+            logits = h @ p["head"]["w"].T + p["head"]["b"]
+            logp = jax.nn.log_softmax(logits)
+            return -logp[jnp.arange(16), Yj].mean()
+
+        def jax_phase(params, state, n_steps, freeze, lr):
+            mask = {
+                "backbone": {"w": not freeze, "b": not freeze},
+                "head": {"w": True, "b": True},
+            }
+            for _ in range(n_steps):
+                grads = jax.grad(loss_fn)(params)
+                params, state = adam_update(
+                    grads, state, params, lr=lr, trainable_mask=mask,
+                    weight_decay=0.01,
+                )
+            return params, state
+
+        params, state = jax_phase(params, state, 5, freeze=True, lr=5e-3)
+        params, state = jax_phase(params, state, 7, freeze=False, lr=1e-3)
+
+        pairs = [
+            (params["backbone"]["w"], lin1.weight),
+            (params["backbone"]["b"], lin1.bias),
+            (params["head"]["w"], lin2.weight),
+            (params["head"]["b"], lin2.bias),
+        ]
+        for ours, theirs in pairs:
+            np.testing.assert_allclose(
+                np.asarray(ours), theirs.detach().numpy(), rtol=1e-9, atol=1e-12
+            )
+        # bias-correction restart actually happened: backbone count == 7
+        assert int(np.asarray(state.count["backbone"]["w"])) == 7
+        assert int(np.asarray(state.count["head"]["w"])) == 12
+    finally:
+        jax.config.update("jax_enable_x64", False)
