@@ -188,8 +188,13 @@ class MTCNNDetector:
         return scales
 
     def _stage1(self, image: np.ndarray) -> np.ndarray:
+        """P-Net pyramid sweep, following facenet_pytorch detect_face's
+        first-stage semantics (the library the reference wraps,
+        `Dataload_vision.py:25-29`): per-scale NMS 0.5 on RAW boxes, then
+        cross-scale NMS 0.7, then box regression. Box coords use the
+        original MTCNN offsets x1=floor((2x+1)/s), x2=floor((2x+12)/s)."""
         h, w = image.shape[:2]
-        all_boxes = []
+        all_rows = []
         for scale in self._scales(h, w):
             hs, ws = int(np.ceil(h * scale)), int(np.ceil(w * scale))
             if hs < 12 or ws < 12:
@@ -200,53 +205,71 @@ class MTCNNDetector:
             prob, reg = self._pnet_apply(self.params[0], self._norm(img_s)[None])
             prob = np.asarray(prob)[0, ..., 1]
             reg = np.asarray(reg)[0]
-            ys, xs = np.where(prob > self.thresholds[0])
+            ys, xs = np.where(prob >= self.thresholds[0])
             if len(ys) == 0:
                 continue
             stride, cell = 2.0, 12.0
-            x1 = np.round(xs * stride / scale)
-            y1 = np.round(ys * stride / scale)
-            x2 = np.round((xs * stride + cell) / scale)
-            y2 = np.round((ys * stride + cell) / scale)
+            x1 = np.floor((xs * stride + 1) / scale)
+            y1 = np.floor((ys * stride + 1) / scale)
+            x2 = np.floor((xs * stride + cell) / scale)
+            y2 = np.floor((ys * stride + cell) / scale)
             boxes = np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
             scores = prob[ys, xs]
             r = reg[ys, xs]
             keep = nms_numpy(boxes, scores, 0.5)
-            boxes, scores, r = boxes[keep], scores[keep], r[keep]
-            boxes = _apply_regression(boxes, r)
-            all_boxes.append(np.concatenate([boxes, scores[:, None]], axis=1))
-        if not all_boxes:
+            rows = np.concatenate(
+                [boxes[keep], scores[keep, None], r[keep]], axis=1
+            )  # (n, 9): box, score, reg
+            all_rows.append(rows)
+        if not all_rows:
             return np.empty((0, 5), np.float32)
-        boxes = np.concatenate(all_boxes, axis=0)
-        keep = nms_numpy(boxes[:, :4], boxes[:, 4], 0.7)
-        return boxes[keep]
+        rows = np.concatenate(all_rows, axis=0)
+        keep = nms_numpy(rows[:, :4], rows[:, 4], 0.7)
+        rows = rows[keep]
+        boxes = _apply_regression(rows[:, :4], rows[:, 5:9])
+        return np.concatenate([boxes, rows[:, 4:5]], axis=1)
 
-    def _refine(self, image: np.ndarray, boxes: np.ndarray, net_idx: int, size: int, thr: float):
+    def _stage2(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """R-Net refine: square crops -> threshold -> NMS on the PRE-regression
+        boxes -> regression (facenet_pytorch's second-stage order)."""
         if len(boxes) == 0:
-            return boxes, np.empty((0,), np.float32)
+            return np.empty((0, 5), np.float32)
         sq = _square(boxes[:, :4])
-        crops = np.stack([crop_resize(image, b, size) for b in sq])
-        apply = self._rnet_apply if net_idx == 1 else self._onet_apply
-        out = apply(self.params[net_idx], self._norm(crops))
-        prob = np.asarray(out[0])[:, 1]
-        reg = np.asarray(out[1])
-        mask = prob > thr
+        crops = np.stack([crop_resize(image, b, 24) for b in sq])
+        prob, reg = self._rnet_apply(self.params[1], self._norm(crops))
+        prob = np.asarray(prob)[:, 1]
+        reg = np.asarray(reg)
+        mask = prob > self.thresholds[1]
         if not mask.any():
-            return np.empty((0, 5), np.float32), np.empty((0,), np.float32)
-        boxes = _apply_regression(sq[mask], reg[mask])
-        scores = prob[mask]
-        method = "min" if net_idx == 2 else "union"
-        keep = nms_numpy(boxes, scores, 0.7, method)
-        return (
-            np.concatenate([boxes[keep], scores[keep, None]], axis=1),
-            scores[keep],
-        )
+            return np.empty((0, 5), np.float32)
+        sq, prob, reg = sq[mask], prob[mask], reg[mask]
+        keep = nms_numpy(sq, prob, 0.7)
+        out = _apply_regression(sq[keep], reg[keep])
+        return np.concatenate([out, prob[keep, None]], axis=1)
+
+    def _stage3(self, image: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """O-Net refine: square crops -> threshold -> regression -> NMS with
+        the 'min' overlap (facenet_pytorch's third-stage order)."""
+        if len(boxes) == 0:
+            return np.empty((0, 5), np.float32)
+        sq = _square(boxes[:, :4])
+        crops = np.stack([crop_resize(image, b, 48) for b in sq])
+        prob, reg, _landmarks = self._onet_apply(self.params[2], self._norm(crops))
+        prob = np.asarray(prob)[:, 1]
+        reg = np.asarray(reg)
+        mask = prob > self.thresholds[2]
+        if not mask.any():
+            return np.empty((0, 5), np.float32)
+        out = _apply_regression(sq[mask], reg[mask])
+        prob = prob[mask]
+        keep = nms_numpy(out, prob, 0.7, "min")
+        return np.concatenate([out[keep], prob[keep, None]], axis=1)
 
     def detect(self, image: np.ndarray) -> Tuple[Optional[np.ndarray], float]:
         """Best face box for one RGB uint8 image, or (None, 0.0)."""
         boxes = self._stage1(image)
-        boxes, _ = self._refine(image, boxes, 1, 24, self.thresholds[1])
-        boxes, _ = self._refine(image, boxes, 2, 48, self.thresholds[2])
+        boxes = self._stage2(image, boxes)
+        boxes = self._stage3(image, boxes)
         if len(boxes) == 0:
             return None, 0.0
         best = boxes[np.argmax(boxes[:, 4])]
@@ -264,8 +287,9 @@ class MTCNNDetector:
         for i, frame in enumerate(frames):
             box, prob = self.detect(frame)
             if box is not None and prob > prob_threshold:
-                sq = _square(box[None])[0]
-                crop = crop_resize(frame, sq, self.face_size)
+                # facenet's extract_face crops the detection box as-is (no
+                # re-squaring; aspect distortion absorbed by the resize)
+                crop = crop_resize(frame, box, self.face_size)
                 # facenet post_process + reference's re-expansion to uint8
                 norm = (crop - 127.5) / 128.0
                 crop = np.clip((norm + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
@@ -274,26 +298,88 @@ class MTCNNDetector:
         return out
 
 
+# facenet_pytorch flattens the last conv's NCHW activations after a
+# permute(0, 3, 2, 1) -> (B, W, H, C); our Flax nets flatten (B, C, H, W).
+# (net -> (first dense name, H, W, C) of that conv output)
+_DENSE_SPATIAL = {"rnet": ("dense4", 3, 3, 64), "onet": ("dense5", 3, 3, 128)}
+
+
+def _to_np(v) -> np.ndarray:
+    try:
+        return v.detach().cpu().numpy().astype(np.float32)
+    except AttributeError:
+        return np.asarray(v, np.float32)
+
+
+def convert_facenet_state_dict(net: str, sd) -> dict:
+    """facenet_pytorch P/R/O-Net state dict -> Flax param tree.
+
+    Layout mapping: conv (O,I,kh,kw) -> (kh,kw,I,O); dense (out,in) -> (in,out)
+    with the first dense's columns permuted from facenet's (W,H,C) flatten
+    order to our (C,H,W); PReLU weight -> alpha."""
+    out: dict = {}
+    for k, v in sd.items():
+        name, kind = k.rsplit(".", 1)
+        v = _to_np(v)
+        leaf = out.setdefault(name, {})
+        if kind == "bias":
+            leaf["bias"] = v
+        elif v.ndim == 4:  # conv weight
+            leaf["kernel"] = np.transpose(v, (2, 3, 1, 0))
+        elif v.ndim == 2:  # dense weight
+            first_dense, H, W, C = _DENSE_SPATIAL.get(net, (None, 0, 0, 0))
+            if name == first_dense:
+                v = (
+                    v.reshape(v.shape[0], W, H, C)
+                    .transpose(0, 3, 2, 1)
+                    .reshape(v.shape[0], -1)
+                )
+            leaf["kernel"] = v.T
+        elif v.ndim == 1:  # PReLU weight
+            leaf["alpha"] = v
+        else:
+            raise ValueError(f"unexpected tensor {k} with shape {v.shape}")
+    return out
+
+
+def _flatten_tree(tree, prefix=""):
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(_flatten_tree(v, f"{prefix}{k}/"))
+        else:
+            flat[f"{prefix}{k}"] = np.asarray(v)
+    return flat
+
+
+def _unflatten_tree(flat):
+    tree: dict = {}
+    for k, v in flat.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
 def load_mtcnn_params(weights_dir: str):
-    """Load P/R/O-Net params from .npz files (flattened path -> array),
-    e.g. converted once from facenet_pytorch's data/*.pt."""
-    import re
-
-    def unflatten(flat):
-        tree: dict = {}
-        for k, v in flat.items():
-            node = tree
-            parts = k.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = v
-        return tree
-
+    """Load P/R/O-Net params from ``{p,r,o}net.npz`` (flattened path ->
+    array; produced by scripts/convert_mtcnn.py), falling back to converting
+    facenet_pytorch ``{p,r,o}net.pt`` state dicts in place."""
     out = []
     for net in ("pnet", "rnet", "onet"):
-        path = os.path.join(weights_dir, f"{net}.npz")
-        flat = dict(np.load(path))
-        out.append(unflatten(flat))
+        npz = os.path.join(weights_dir, f"{net}.npz")
+        pt = os.path.join(weights_dir, f"{net}.pt")
+        if os.path.exists(npz):
+            out.append(_unflatten_tree(dict(np.load(npz))))
+        elif os.path.exists(pt):
+            import torch
+
+            sd = torch.load(pt, map_location="cpu", weights_only=True)
+            out.append(convert_facenet_state_dict(net, sd))
+        else:
+            raise FileNotFoundError(f"missing {npz} (or {pt})")
     return tuple(out)
 
 
