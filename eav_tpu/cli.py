@@ -37,16 +37,22 @@ def cmd_presets(_args) -> int:
 
 
 def cmd_run(args) -> int:
-    from eav_tpu.core.config import SweepConfig
+    from eav_tpu.core.config import SweepConfig, apply_overrides, load_override_file
     from eav_tpu.core.sweep import SweepRunner
-    from eav_tpu.train.pipeline import ModalityPipelines
+    from eav_tpu.train.pipeline import ModalityPipelines, default_presets
 
     out = args.out
     os.makedirs(out, exist_ok=True)
+    presets = default_presets()
+    if args.config:
+        presets = apply_overrides(presets, load_override_file(args.config))
+    if args.set:
+        presets = apply_overrides(presets, args.set)
     pipelines = ModalityPipelines(
         data_root=args.data_root,
         cache_dir=args.cache_dir or os.path.join(out, "cache"),
         logits_dir=os.path.join(out, "logits"),
+        presets=presets,
         seed=args.seed,
         epochs_per_call=args.epochs_per_call,
     )
@@ -127,6 +133,15 @@ def main(argv=None) -> int:
     run.add_argument(
         "--epochs-per-call", type=int, default=None,
         help="split subject-parallel phases into chunks of N epochs per device call",
+    )
+    run.add_argument(
+        "--set", action="append", default=[], metavar="PATH=VALUE",
+        help="field override, e.g. audio.finetune.phases.0.epochs=2 "
+        "or eeg.split.h_idx=40 (repeatable)",
+    )
+    run.add_argument(
+        "--config", default=None,
+        help="YAML/JSON file of nested overrides applied before --set",
     )
     run.set_defaults(fn=cmd_run)
 

@@ -37,6 +37,19 @@ from eav_tpu.ingest.split import eav_split
 from eav_tpu.train.loop import JitTrainer
 
 
+def default_presets() -> Dict[str, PresetConfig]:
+    """The modality-key -> preset mapping the sweep runs by default."""
+    return {
+        "eeg": get_preset("eegnet_subject"),
+        "eeg_conformer": get_preset("conformer_eeg"),
+        "audio": get_preset("ast_finetune"),
+        "audio_scnn": get_preset("scnn_audio"),
+        "vision": get_preset("vit_finetune"),
+        "vision_resnet": get_preset("resnet_vision"),
+        "fusion": get_preset("fusion_sweep"),
+    }
+
+
 def _cfg_hash(cfg) -> str:
     return hashlib.sha1(json.dumps(asdict(cfg), sort_keys=True, default=str).encode()).hexdigest()[:10]
 
@@ -129,15 +142,7 @@ class ModalityPipelines:
         self.seed = seed
         self.epochs_per_call = epochs_per_call
         self.mesh = mesh
-        self.presets = presets or {
-            "eeg": get_preset("eegnet_subject"),
-            "eeg_conformer": get_preset("conformer_eeg"),
-            "audio": get_preset("ast_finetune"),
-            "audio_scnn": get_preset("scnn_audio"),
-            "vision": get_preset("vit_finetune"),
-            "vision_resnet": get_preset("resnet_vision"),
-            "fusion": get_preset("fusion_sweep"),
-        }
+        self.presets = presets or default_presets()
 
     # -- per-modality feature loading -------------------------------------
 
@@ -399,18 +404,26 @@ class ModalityPipelines:
     def run_eeg_stacked(self, subjects) -> Dict[int, TaskResult]:
         return self.run_stacked(subjects, "eeg")
 
-    def run_fusion(self, subject: int, strict: bool = True) -> TaskResult:
+    def run_fusion(
+        self,
+        subject: int,
+        strict: bool = True,
+        mods: Tuple[str, ...] = ("eeg", "audio", "vision"),
+    ) -> TaskResult:
         """Late fusion over archived per-trial logits (BASELINE config 5).
 
         ``strict=True`` (production) requires equal, class-divisible row
         counts across modalities — truncation would silently misalign the
         per-class blocks that the label reconstruction assumes. Tests may
         pass strict=False to exercise the mechanism on unaligned synthetic
-        data (labels then cover only the common prefix)."""
+        data (labels then cover only the common prefix).
+
+        ``mods`` selects the source archives, so fusion also composes over
+        the alternative model families (e.g. ``("eeg_conformer",
+        "audio_scnn", "vision_resnet")``)."""
         if self.logits_dir is None:
             raise ValueError("run_fusion requires logits_dir (archived per-trial logits)")
         preset = self.presets["fusion"]
-        mods = ("eeg", "audio", "vision")
 
         def load(split):
             parts = [
@@ -433,6 +446,8 @@ class ModalityPipelines:
         tr_y = np.repeat(np.arange(5), tr.shape[0] // 5)
         te_y = np.repeat(np.arange(5), te.shape[0] // 5)
         model, kw = build_model(preset)
+        if getattr(model, "num_modalities", len(mods)) != len(mods):
+            model = model.clone(num_modalities=len(mods))
         trainer = JitTrainer(model, preset.finetune, **kw)
         result = trainer.fit((tr, tr_y, te, te_y), seed=self.seed + subject)
         pred = np.argmax(result.outputs_test, axis=-1)

@@ -54,3 +54,98 @@ def test_baseline_presets_complete():
     }
     assert required <= set(PRESETS)
     assert PRESETS["fusion_sweep"].sweep is not None
+
+
+def test_apply_overrides_paths():
+    """Field overrides reach nested dataclasses, tuples and dicts
+    (SURVEY.md §5 config row; VERDICT round-1 missing #8)."""
+    import pytest
+
+    from eav_tpu.core.config import apply_overrides, parse_override_value
+    from eav_tpu.train.pipeline import default_presets
+
+    presets = default_presets()
+    out = apply_overrides(
+        presets,
+        [
+            "audio.finetune.phases.0.epochs=2",
+            "audio.finetune.phases.1.lr=1e-5",
+            "eeg.split.h_idx=40",
+            "eeg.eeg.band=(3, 50)",
+            "eeg.finetune.model_kwargs.temporal_mode=conv",
+            "vision.finetune.batch_size=64",
+        ],
+    )
+    assert out["audio"].finetune.phases[0].epochs == 2
+    assert out["audio"].finetune.phases[1].lr == 1e-5
+    assert out["eeg"].split.h_idx == 40
+    assert out["eeg"].eeg.band == (3, 50)
+    assert out["eeg"].finetune.model_kwargs["temporal_mode"] == "conv"
+    assert out["vision"].finetune.batch_size == 64
+    # originals untouched (immutable replace)
+    assert presets["audio"].finetune.phases[0].epochs == 10
+
+    assert parse_override_value("true") is True
+    assert parse_override_value("none") is None
+    assert parse_override_value("fft") == "fft"
+
+    with pytest.raises(KeyError, match="unknown preset"):
+        apply_overrides(presets, ["bogus.finetune.batch_size=1"])
+    with pytest.raises(KeyError, match="has no field"):
+        apply_overrides(presets, ["eeg.finetune.batchsize=1"])
+    with pytest.raises(ValueError, match="path=value"):
+        apply_overrides(presets, ["eeg.finetune.batch_size"])
+
+
+def test_override_file_roundtrip(tmp_path):
+    from eav_tpu.core.config import apply_overrides, load_override_file
+    from eav_tpu.train.pipeline import default_presets
+
+    cfg = tmp_path / "sweep.json"
+    cfg.write_text(
+        '{"audio": {"finetune": {"phases": {"0": {"epochs": 3, "lr": "1e-3"}}}},'
+        ' "eeg": {"split": {"h_idx": 40}}}'
+    )
+    flat = load_override_file(str(cfg))
+    out = apply_overrides(default_presets(), flat)
+    assert out["audio"].finetune.phases[0].epochs == 3
+    assert out["audio"].finetune.phases[0].lr == 1e-3  # string normalized
+    assert out["eeg"].split.h_idx == 40
+
+
+def test_cli_run_with_overrides(tmp_path):
+    """Full `cli run` on a synthetic EEG subject, shrunk via --set overrides
+    (without them the hard-coded 200-epoch preset is untestable)."""
+    import numpy as np
+
+    from eav_tpu.ingest import mat5
+
+    root = tmp_path / "EAV"
+    sdir = root / "subject01" / "EEG"
+    sdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    seg = rng.normal(size=(4000, 4, 20))  # 8 s @ 500 Hz, 4 ch, 20 trials
+    rows = np.asarray([1, 3, 5, 7, 9] * 4)
+    label = np.zeros((10, 20))
+    label[rows, np.arange(20)] = 1
+    mat5.savemat(str(sdir / "subject01_eeg.mat"), {"seg": seg})
+    mat5.savemat(str(sdir / "subject01_eeg_label.mat"), {"label": label})
+
+    out = tmp_path / "run"
+    rc = main([
+        "run", "--data-root", str(root), "--subjects", "1", "--modalities", "eeg",
+        "--out", str(out),
+        "--set", "eeg.eeg.channels=4",
+        "--set", "eeg.eeg.trial_seconds=8.0",
+        "--set", "eeg.eeg.chunk_seconds=2.0",
+        "--set", "eeg.split.h_idx=2",
+        "--set", "eeg.finetune.phases.0.epochs=2",
+        "--set", "eeg.finetune.model_kwargs.chans=4",
+        "--set", "eeg.finetune.model_kwargs.samples=200",
+        "--set", "eeg.finetune.model_kwargs.kern_length=16",
+    ])
+    assert rc == 0
+    rows_m = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert rows_m and rows_m[0]["modality"] == "eeg"
+    assert rows_m[0]["epochs"] == 2
+    assert rows_m[0]["samples_per_sec"] > 0
