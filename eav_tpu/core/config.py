@@ -238,6 +238,11 @@ def _ast_finetune() -> FinetuneConfig:
             PhaseConfig(epochs=15, lr=5e-6, freeze=False),
         ),
         vote_group=None,
+        # bf16 matmuls on the MXU: +51% step throughput measured on v5e
+        # (params, optimizer state and softmax stay f32). Deliberate
+        # deviation from the all-f32 torch reference; flip with
+        # --set audio.finetune.model_kwargs.compute_dtype=float32
+        model_kwargs={"compute_dtype": "bfloat16"},
     )
 
 
@@ -257,8 +262,9 @@ def _vit_finetune() -> FinetuneConfig:
             PhaseConfig(epochs=5, lr=5e-6, freeze=False),
         ),
         vote_group=25,
-        # raw uint8 frames to device; resize+normalize fold into the model
-        model_kwargs={"preprocess_uint8": True},
+        # raw uint8 frames to device (resize+normalize fold into the model);
+        # bf16 MXU matmuls (+29% measured on v5e), f32 params/softmax
+        model_kwargs={"preprocess_uint8": True, "compute_dtype": "bfloat16"},
     )
 
 

@@ -67,39 +67,51 @@ def _cached(cache_dir: Optional[str], key: str, compute: Callable[[], Tuple[np.n
     return x, y
 
 
+def _model_kwargs(preset: PresetConfig) -> dict:
+    """Normalize model_kwargs from config space: dtype names ('bfloat16')
+    become jnp dtypes so presets stay JSON-serializable/hashable."""
+    kw = dict(preset.finetune.model_kwargs or {})
+    if isinstance(kw.get("compute_dtype"), str):
+        import jax.numpy as jnp
+
+        kw["compute_dtype"] = jnp.dtype(kw["compute_dtype"]).type
+    return kw
+
+
 def build_model(preset: PresetConfig):
     """Model + trainer kwargs for a preset's finetune config."""
     name = preset.finetune.model
+    kwargs = _model_kwargs(preset)
     if name == "eegnet":
         from eav_tpu.models.eegnet import EEGNet
 
-        model = EEGNet(**preset.finetune.model_kwargs)
+        model = EEGNet(**kwargs)
         return model, dict(maxnorm_rules=model.maxnorm_rules)
     if name == "conformer_eeg":
         from eav_tpu.models.conformer_eeg import ConformerEEG
 
-        model = ConformerEEG(**preset.finetune.model_kwargs)
+        model = ConformerEEG(**kwargs)
         return model, dict(maxnorm_rules=model.maxnorm_rules)
     if name == "scnn_audio":
         from eav_tpu.models.scnn_audio import SCNNAudio
 
-        return SCNNAudio(**preset.finetune.model_kwargs), {}
+        return SCNNAudio(**kwargs), {}
     if name == "ast":
         from eav_tpu.models.ast import AST
 
-        return AST(**preset.finetune.model_kwargs), {}
+        return AST(**kwargs), {}
     if name == "vit":
         from eav_tpu.models.vit import ViT
 
-        return ViT(**preset.finetune.model_kwargs), {}
+        return ViT(**kwargs), {}
     if name == "resnet_attn":
         from eav_tpu.models.resnet_attn import ResNetAttn
 
-        return ResNetAttn(**preset.finetune.model_kwargs), dict(head_regex=ResNetAttn.HEAD_REGEX)
+        return ResNetAttn(**kwargs), dict(head_regex=ResNetAttn.HEAD_REGEX)
     if name == "fusion":
         from eav_tpu.models.fusion import FusionHead
 
-        return FusionHead(**preset.finetune.model_kwargs), {}
+        return FusionHead(**kwargs), {}
     raise KeyError(f"unknown model {name!r}")
 
 

@@ -47,3 +47,25 @@ def test_ast_with_flash_attention_matches_xla(rng):
     out_xla = np.asarray(m_xla.apply(v, jnp.asarray(x), train=False))
     out_flash = np.asarray(m_flash.apply(v, jnp.asarray(x), train=False))
     np.testing.assert_allclose(out_flash, out_xla, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gradients_match_bf16_odd_length(rng):
+    """Pallas backward kernels at a padded odd length in bf16 (the long-
+    context configuration the microbench runs)."""
+    b, t, h, d = 2, 300, 2, 32
+    mk = lambda: jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, True).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=0.08, atol=0.08,  # bf16 reference path is itself low-precision
+        )

@@ -141,3 +141,29 @@ def test_vit_uint8_preprocessing_matches_host_path(rng):
     out_host = np.asarray(m_host.apply(v, jnp.asarray(host_in), train=False))
     out_dev = np.asarray(m_dev.apply(v, jnp.asarray(frames), train=False))
     np.testing.assert_allclose(out_dev, out_host, rtol=2e-4, atol=2e-4)
+
+
+def test_threaded_decode_matches_serial(tmp_path):
+    """decode_clips_threaded yields identical frames in input order (the
+    prefetch pipeline must not reorder or corrupt clips)."""
+    import cv2
+
+    from eav_tpu.ingest.video import decode_clips_threaded, decode_strided_frames
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"c{i}.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+        for f in range(24):
+            w.write(rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8))
+        w.release()
+        paths.append(p)
+
+    serial = {p: decode_strided_frames(p, stride=6, max_frames=24) for p in paths}
+    out = list(decode_clips_threaded(paths, stride=6, max_frames=24, workers=3, prefetch=2))
+    assert [p for p, _ in out] == paths  # input order preserved
+    for p, frames in out:
+        assert len(frames) == len(serial[p]) == 4
+        for a, b in zip(frames, serial[p]):
+            np.testing.assert_array_equal(a, b)
