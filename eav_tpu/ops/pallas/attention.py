@@ -7,20 +7,33 @@ with the online-softmax recurrence, never materializing the score matrix —
 the standard flash-attention memory/bandwidth win, and the clean seam for
 longer contexts (SURVEY.md §5 long-context row).
 
-Forward emits the per-row logsumexp as a residual; backward is TWO Pallas
-kernels (dK/dV accumulated over query blocks, dQ accumulated over key
-blocks) using the standard recurrence
+Kernel structure (the streaming form): each kernel runs on a 3-D grid
+(batch*head, outer-block, inner-block) with the *inner* dimension iterating
+fastest, so Pallas streams one (BLK, D) tile of the long operand per grid
+step (double-buffered DMA overlapped with compute) while the softmax /
+gradient recurrence accumulates in VMEM scratch. VMEM use is O(BLK * D)
+regardless of sequence length — a naive whole-row BlockSpec OOMs scoped VMEM
+at T=16k. Forward emits per-row logsumexp as a (BH, T, 1) residual (trailing
+singleton so block last-two dims satisfy Mosaic's (8, 128)-or-full-dim tiling
+rule); backward is TWO kernels (dK/dV accumulated over query blocks, dQ over
+key blocks) using
 
     P  = exp(S - lse),  dV = P^T dO,  dP = dO V^T,
     dS = P * (dP - rowsum(dO * O)),  dQ = scale * dS K,  dK = scale * dS^T Q
 
-so training never materializes (T, T) either. At the production 1214-token
-AST length the XLA einsum path is still faster on v5e (measured round 1);
-the kernel is the long-context seam — see scripts/tpu_microbench.py's
-``flash4k`` case for the shape where it wins. Sequence lengths are padded to
-the 128-lane block size with masked keys. Tests run the kernels in
-interpreter mode on CPU against the einsum reference (values AND grads); on
-TPU they compile to Mosaic.
+so training never materializes (T, T) either. All matmuls keep operands in
+their input dtype (bf16 hits the fast MXU path) with f32 accumulation; the
+softmax state stays f32.
+
+Measured on v5e (scripts/tpu_microbench.py ``flash4k [--long]``, fwd+bwd
+train step wall-clock, round 2): T=4096 bf16 1.44x XLA / f32 2.31x;
+T=8192 bf16 1.51x; T=16384 bf16 1.54x; T=32768 flash runs in 80 ms where
+the XLA path OOMs 16 GB HBM. At the production AST length (1214 -> 1280
+tokens) XLA's fused attention is still faster (0.71x), so the kernel stays
+opt-in (``attn_impl='flash'``) — it is the long-context seam, not the
+default. Sequence lengths are padded to the block size with masked keys.
+Tests run the kernels in interpreter mode on CPU against the einsum
+reference (values AND grads); on TPU they compile to Mosaic.
 """
 
 from __future__ import annotations
@@ -33,119 +46,140 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK_Q = 128
-BLK_K = 128
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t_real: int, scale: float):
-    """One (batch*head, q-block) program: iterate key blocks, online softmax.
+def _pick_block(t: int) -> int:
+    """Square block size: largest of (512, 256, 128) that minimizes the
+    padded length — big blocks amortize per-grid-step overhead (at 128x128
+    the Mosaic grid dominated wall-clock), small ones avoid padding waste on
+    short sequences."""
+    candidates = (512, 256, 128)
+    pads = {c: -(-t // c) * c for c in candidates}
+    best = min(pads.values())
+    for c in candidates:  # prefer the largest block among minimal pads
+        if pads[c] == best:
+            return c
+    return 128
 
-    Shapes: q_ref (1, BLK_Q, D); k_ref/v_ref (1, T_pad, D); o_ref (1, BLK_Q, D);
-    lse_ref (1, BLK_Q) — the per-row logsumexp residual for the backward.
-    """
-    _, t_pad, d = k_ref.shape
-    q = q_ref[0] * scale
 
-    def body(kb, carry):
-        acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * BLK_K, BLK_K), :]
-        v_blk = v_ref[0, pl.ds(kb * BLK_K, BLK_K), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (BLK_Q, BLK_K)
-        # mask keys beyond the real sequence length
-        key_idx = kb * BLK_K + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_idx < t_real, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, t_real: int, scale: float, nk: int, bk: int,
+):
+    """Grid (BH, nq, nk), nk fastest. Blocks: q/o (1, BLK_Q, D) pinned per
+    (bh, qi); k/v (1, BLK_K, D) streamed per ki; scratch acc/m/l carry the
+    online-softmax state across ki steps."""
+    ki = pl.program_id(2)
 
-    nk = t_pad // BLK_K
-    acc0 = jnp.zeros((BLK_Q, d), jnp.float32)
-    m0 = jnp.full((BLK_Q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BLK_Q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
-    l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    s = scale * jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK_Q, BLK_K) — bf16 operands hit the fast MXU path, f32 accumulate
+    key_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < t_real, s, NEG_INF)
+    m_prev, l_prev = m_ref[...], l_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _flush():
+        l_safe = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(l_safe)
 
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-    *, t_real: int, scale: float,
+    dk_acc, dv_acc, *, t_real: int, scale: float, nq: int, bk: int,
 ):
-    """One (batch*head, k-block) program: accumulate dK/dV over all q blocks.
+    """Grid (BH, nk, nq), nq fastest. k/v (1, BLK_K, D) pinned per (bh, ki);
+    q/do/lse/di streamed per qi; scratch dk/dv accumulate over q blocks."""
+    ki, qi = pl.program_id(1), pl.program_id(2)
 
-    Shapes: k_ref/v_ref (1, BLK_K, D); q_ref/do_ref (1, T_pad, D);
-    lse_ref/di_ref (1, T_pad); dk_ref/dv_ref (1, BLK_K, D).
-    """
-    _, t_pad, d = q_ref.shape
-    kb = pl.program_id(1)
-    k_blk = k_ref[0]
-    v_blk = v_ref[0]
-    key_mask_cols = kb * BLK_K + jax.lax.broadcasted_iota(
-        jnp.int32, (BLK_Q, BLK_K), 1
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    di = di_ref[0]
+    s = scale * jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK_Q, BLK_K)
+    key_cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_cols < t_real, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    pc = p.astype(do.dtype)  # bf16 operand for the MXU; f32 accumulate
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - di)).astype(q.dtype)
+    dk_acc[...] = dk_acc[...] + scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
-    def body(qi, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(qi * BLK_Q, BLK_Q), :]
-        do = do_ref[0, pl.ds(qi * BLK_Q, BLK_Q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * BLK_Q, BLK_Q)].reshape(BLK_Q, 1)
-        di = di_ref[0, pl.ds(qi * BLK_Q, BLK_Q)].reshape(BLK_Q, 1)
-        s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        s = jnp.where(key_mask_cols < t_real, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (BLK_Q, BLK_K)
-        dv_acc = dv_acc + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - di)
-        dk_acc = dk_acc + scale * jnp.dot(
-            ds.T, q.astype(jnp.float32), preferred_element_type=jnp.float32
-        )
-        return dk_acc, dv_acc
-
-    nq = t_pad // BLK_Q
-    zeros = jnp.zeros((BLK_K, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, body, (zeros, zeros))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == nq - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
-    *, t_real: int, scale: float,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
+    *, t_real: int, scale: float, nk: int, bk: int,
 ):
-    """One (batch*head, q-block) program: accumulate dQ over all key blocks.
+    """Grid (BH, nq, nk), nk fastest. q/do/lse/di (BLK_Q rows) pinned per
+    (bh, qi); k/v streamed per ki; scratch dq accumulates over key blocks."""
+    ki = pl.program_id(2)
 
-    Shapes: q_ref/do_ref/dq_ref (1, BLK_Q, D); k_ref/v_ref (1, T_pad, D);
-    lse_ref/di_ref (1, BLK_Q).
-    """
-    _, t_pad, d = k_ref.shape
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
     q = q_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0].reshape(BLK_Q, 1)
-    di = di_ref[0].reshape(BLK_Q, 1)
+    do = do_ref[0]
+    lse = lse_ref[0]
+    di = di_ref[0]
+    s = scale * jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    key_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < t_real, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - di)).astype(q.dtype)
+    dq_acc[...] = dq_acc[...] + scale * jax.lax.dot(
+        ds, k_ref[0], preferred_element_type=jnp.float32
+    )
 
-    def body(kb, dq_acc):
-        k_blk = k_ref[0, pl.ds(kb * BLK_K, BLK_K), :]
-        v_blk = v_ref[0, pl.ds(kb * BLK_K, BLK_K), :]
-        s = scale * jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        key_idx = kb * BLK_K + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_idx < t_real, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - di)
-        return dq_acc + scale * jnp.dot(
-            ds, k_blk.astype(jnp.float32), preferred_element_type=jnp.float32
-        )
-
-    nk = t_pad // BLK_K
-    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((BLK_Q, d), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    @pl.when(ki == nk - 1)
+    def _flush():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -169,28 +203,34 @@ def _from_bh(x, b, h, t, d):
 
 
 def _flash_forward(q, k, v, interpret: bool):
-    """q, k, v: (B, T, H, D) -> ((B, T, H, D), lse (B*H, T_pad))."""
+    """q, k, v: (B, T, H, D) -> ((B, T, H, D), lse (B*H, T_pad, 1))."""
     b, t, h, d = q.shape
     scale = float(1.0 / np.sqrt(d))
-    t_pad = -(-t // BLK_Q) * BLK_Q
+    blk = _pick_block(t)
+    t_pad = -(-t // blk) * blk
     qb, kb, vb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v))
-    grid = (b * h, t_pad // BLK_Q)
+    nq = nk = t_pad // blk
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, t_real=t, scale=scale),
-        grid=grid,
+        functools.partial(_flash_kernel, t_real=t, scale=scale, nk=nk, bk=blk),
+        grid=(b * h, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, t_pad, d), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, t_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLK_Q, d), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, BLK_Q), lambda bh, qi: (bh, qi)),
+            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, blk, 1), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((blk, 1), jnp.float32),
+            pltpu.VMEM((blk, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(qb, kb, vb)
     return _from_bh(out, b, h, t, d), lse
@@ -199,48 +239,54 @@ def _flash_forward(q, k, v, interpret: bool):
 def _flash_backward(q, k, v, o, lse, g, interpret: bool):
     b, t, h, d = q.shape
     scale = float(1.0 / np.sqrt(d))
-    t_pad = -(-t // BLK_Q) * BLK_Q
+    blk = _pick_block(t)
+    t_pad = -(-t // blk) * blk
     qb, kb, vb, ob, gb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v, o, g))
     # di = rowsum(dO * O) — cheap elementwise reduce, stays in XLA
-    di = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+    di = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1, keepdims=True)
     bh = b * h
-    nq, nk = t_pad // BLK_Q, t_pad // BLK_K
+    nq = nk = t_pad // blk
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, t_real=t, scale=scale),
-        grid=(bh, nk),
+        functools.partial(_dkv_kernel, t_real=t, scale=scale, nq=nq, bk=blk),
+        grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, t_pad, d), lambda bhi, ki: (bhi, 0, 0)),  # q
-            pl.BlockSpec((1, BLK_K, d), lambda bhi, ki: (bhi, ki, 0)),  # k
-            pl.BlockSpec((1, BLK_K, d), lambda bhi, ki: (bhi, ki, 0)),  # v
-            pl.BlockSpec((1, t_pad, d), lambda bhi, ki: (bhi, 0, 0)),  # do
-            pl.BlockSpec((1, t_pad), lambda bhi, ki: (bhi, 0)),  # lse
-            pl.BlockSpec((1, t_pad), lambda bhi, ki: (bhi, 0)),  # di
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # q
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # k
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # v
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # do
+            pl.BlockSpec((1, blk, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # lse
+            pl.BlockSpec((1, blk, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # di
         ],
         out_specs=(
-            pl.BlockSpec((1, BLK_K, d), lambda bhi, ki: (bhi, ki, 0)),
-            pl.BlockSpec((1, BLK_K, d), lambda bhi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
+            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((blk, d), jnp.float32),
+        ],
         interpret=interpret,
     )(qb, kb, vb, gb, lse, di)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, t_real=t, scale=scale),
-        grid=(bh, nq),
+        functools.partial(_dq_kernel, t_real=t, scale=scale, nk=nk, bk=blk),
+        grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, BLK_Q, d), lambda bhi, qi: (bhi, qi, 0)),  # q
-            pl.BlockSpec((1, t_pad, d), lambda bhi, qi: (bhi, 0, 0)),  # k
-            pl.BlockSpec((1, t_pad, d), lambda bhi, qi: (bhi, 0, 0)),  # v
-            pl.BlockSpec((1, BLK_Q, d), lambda bhi, qi: (bhi, qi, 0)),  # do
-            pl.BlockSpec((1, BLK_Q), lambda bhi, qi: (bhi, qi)),  # lse
-            pl.BlockSpec((1, BLK_Q), lambda bhi, qi: (bhi, qi)),  # di
+            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # q
+            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # k
+            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # v
+            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # do
+            pl.BlockSpec((1, blk, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # lse
+            pl.BlockSpec((1, blk, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # di
         ],
-        out_specs=pl.BlockSpec((1, BLK_Q, d), lambda bhi, qi: (bhi, qi, 0)),
+        out_specs=pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32)],
         interpret=interpret,
     )(qb, kb, vb, gb, lse, di)
 

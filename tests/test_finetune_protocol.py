@@ -165,6 +165,9 @@ def test_adamw_trajectory_matches_torch_freeze_unfreeze():
 
     from eav_tpu.core.optim import adam_update, init_adam_state
 
+    prev_x64 = jax.config.jax_enable_x64  # conftest sets True suite-wide;
+    # restore *that*, not False — clobbering it silently downgraded every
+    # later golden-parity test to float32
     jax.config.update("jax_enable_x64", True)
     try:
         rng = np.random.default_rng(0)
@@ -246,4 +249,4 @@ def test_adamw_trajectory_matches_torch_freeze_unfreeze():
         assert int(np.asarray(state.count["backbone"]["w"])) == 7
         assert int(np.asarray(state.count["head"]["w"])) == 12
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev_x64)
