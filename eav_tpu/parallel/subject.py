@@ -109,15 +109,20 @@ class SubjectParallelTrainer:
                 params = maxnorm_project(params, self.inner.maxnorm_rules)
             return params, variables.get("batch_stats", {})
 
-        if init_params is None:
-            params, bstats = jax.vmap(init_one)(init_keys, tr_x)
-        elif isinstance(init_params, tuple) and len(init_params) == 2:
-            params, bstats = init_params
-        else:
-            # bare stacked params (matching JitTrainer.fit's init_params);
-            # batch stats come from a fresh init
-            params = init_params
-            _, bstats = jax.vmap(init_one)(init_keys, tr_x)
+        params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+        if init_params is not None:
+            # stacked pretrained trees overlay the fresh init (possibly
+            # partially, e.g. a backbone-only checkpoint) — identical
+            # semantics to JitTrainer.fit's overlay_params path
+            from eav_tpu.train.loop import overlay_params
+
+            if isinstance(init_params, tuple) and len(init_params) == 2:
+                given_p, given_b = init_params
+            else:  # bare stacked params
+                given_p, given_b = init_params, None
+            params = overlay_params(params, jax.tree.map(jnp.asarray, given_p))
+            if given_b is not None:
+                bstats = overlay_params(bstats, jax.tree.map(jnp.asarray, given_b))
         opt_state = jax.vmap(init_adam_state)(params)
 
         # masks are identical across subjects (same structure)

@@ -48,6 +48,31 @@ class TrainResult(NamedTuple):
     epoch_logits: Optional[np.ndarray] = None
 
 
+def overlay_params(base, update):
+    """Recursively overlay ``update`` onto ``base``: leaves present in
+    ``update`` replace ``base``'s, missing subtrees keep their (random-init)
+    values — torch's ``load_state_dict(strict=False)`` pattern. Lets a
+    partial pretrained tree (e.g. a torchvision ResNet50 *backbone*,
+    models/resnet_attn.py) initialize only the matching submodule while the
+    attention/head params stay freshly initialized, exactly like the
+    reference's ``resnet50(pretrained=True)`` + new head (`CNN_Vision.py:32-47`).
+    Unknown keys in ``update`` are an error (silent typos would train from
+    random init while claiming pretrained)."""
+    if update is None:
+        return base
+    if isinstance(base, dict) or hasattr(base, "keys"):
+        if not (isinstance(update, dict) or hasattr(update, "keys")):
+            raise TypeError(f"cannot overlay leaf onto subtree {list(base)}")
+        unknown = set(update) - set(base)
+        if unknown:
+            raise KeyError(f"overlay keys not in target tree: {sorted(unknown)}")
+        return {
+            k: overlay_params(base[k], update[k]) if k in update else base[k]
+            for k in base
+        }
+    return update
+
+
 def cross_entropy(logits, labels, weights, compat_softmax: bool = False):
     """Weighted-mean CE. ``compat_softmax=True`` replicates the reference's
     double-softmax quirk (Softmax layer feeding CrossEntropyLoss,
@@ -340,9 +365,9 @@ class JitTrainer:
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
         if init_params is not None:
-            params = jax.tree.map(jnp.asarray, init_params)
+            params = overlay_params(params, jax.tree.map(jnp.asarray, init_params))
         if init_batch_stats is not None:
-            bstats = jax.tree.map(jnp.asarray, init_batch_stats)
+            bstats = overlay_params(bstats, jax.tree.map(jnp.asarray, init_batch_stats))
         if self.maxnorm_rules:  # constraints also hold at init (torch hook)
             params = maxnorm_project(params, self.maxnorm_rules)
         opt_state = init_adam_state(params)

@@ -116,19 +116,41 @@ def build_model(preset: PresetConfig):
 
 
 def _pretrained_params(model_name: str, num_labels: int):
-    """Optional HF checkpoint import, gated on env-var-pointed local dirs."""
+    """Optional pretrained checkpoint import, gated on env-var-pointed local
+    files. Returns ``(init_params, init_batch_stats)`` — either may be None.
+
+    - ``ast`` / ``vit``: HF checkpoint dir (`Transformer_Audio.py:22-24`,
+      `Transformer_Vision.py:28-30`); full param tree, no batch stats.
+    - ``resnet_attn``: a torchvision ``resnet50`` state-dict ``.pth`` file
+      via ``EAV_TPU_RESNET_CKPT`` (`CNN_Vision.py:32` ``resnet50(pretrained)``).
+      Returns a *partial* tree covering only ``backbone/`` (+ its BN running
+      stats); the trainer overlays it onto random init (train/loop.py
+      ``overlay_params``) so attention/head start fresh like the reference's
+      new layers (`CNN_Vision.py:42-56`).
+    """
+    if model_name == "resnet_attn":
+        path = os.environ.get("EAV_TPU_RESNET_CKPT", "")
+        if not path or not os.path.isfile(path):
+            return None, None
+        import torch
+
+        from eav_tpu.models.resnet_attn import convert_torchvision_resnet50
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        cv = convert_torchvision_resnet50(sd, None)
+        return {"backbone": cv["params"]}, {"backbone": cv["batch_stats"]}
     env = {"ast": "EAV_TPU_AST_CKPT", "vit": "EAV_TPU_VIT_CKPT"}.get(model_name)
     if not env:
-        return None
+        return None, None
     path = os.environ.get(env, "")
     if not path or not os.path.isdir(path):
-        return None
+        return None, None
     from eav_tpu.models import hf_import
 
     sd = hf_import.load_state_dict_from_dir(path)
     if model_name == "ast":
-        return hf_import.convert_ast_state_dict(sd, num_labels=num_labels)
-    return hf_import.convert_vit_state_dict(sd, num_labels=num_labels)
+        return hf_import.convert_ast_state_dict(sd, num_labels=num_labels), None
+    return hf_import.convert_vit_state_dict(sd, num_labels=num_labels), None
 
 
 class ModalityPipelines:
@@ -258,10 +280,11 @@ class ModalityPipelines:
         x, y = self.load_audio(subject, frontend)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
         model, kw = build_model(preset)
-        init_params = _pretrained_params(preset.finetune.model, 5)
+        init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)
         t0 = time.perf_counter()
-        result = trainer.fit(data, seed=self.seed + subject, init_params=init_params)
+        result = trainer.fit(data, seed=self.seed + subject, init_params=init_params,
+                             init_batch_stats=init_bstats)
         fit_s = time.perf_counter() - t0
         if self.logits_dir is not None:
             self._save_logits(
@@ -286,11 +309,12 @@ class ModalityPipelines:
             tr_f = preprocess_frames(tr_f, size=size)
             te_f = preprocess_frames(te_f, size=size)
         model, kw = build_model(preset)
-        init_params = _pretrained_params(preset.finetune.model, 5)
+        init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = JitTrainer(model, preset.finetune, **kw)
         t0 = time.perf_counter()
         result = trainer.fit((tr_f, tr_fy, te_f, te_fy), seed=self.seed + subject,
-                             init_params=init_params, mesh=self.mesh)
+                             init_params=init_params, init_batch_stats=init_bstats,
+                             mesh=self.mesh)
         fit_s = time.perf_counter() - t0
         if self.logits_dir is not None:
             tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
@@ -353,15 +377,17 @@ class ModalityPipelines:
             raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
         model, kw = build_model(preset)
-        init_params = _pretrained_params(preset.finetune.model, 5)
+        init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         if init_params is not None:
             # broadcast the checkpoint across the subject axis (same init as
             # the serial path's JitTrainer.fit(init_params=...))
             S = len(subjects)
-            init_params = jax.tree.map(
-                lambda p: np.broadcast_to(np.asarray(p), (S,) + np.shape(p)),
-                init_params,
+            bcast = lambda tree: jax.tree.map(
+                lambda p: np.broadcast_to(np.asarray(p), (S,) + np.shape(p)), tree
             )
+            init_params = bcast(init_params)
+            if init_bstats is not None:
+                init_params = (init_params, bcast(init_bstats))
         sp_trainer = SubjectParallelTrainer(
             model, preset.finetune, epochs_per_call=self.epochs_per_call, **kw
         )

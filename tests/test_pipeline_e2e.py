@@ -254,7 +254,7 @@ def test_subject_parallel_pretrained_init(tmp_path, rng, monkeypatch):
     calls = []
     def fake_pretrained(model_name, num_labels):
         calls.append(model_name)
-        return ckpt if model_name == "ast" else None
+        return (ckpt, None) if model_name == "ast" else (None, None)
     monkeypatch.setattr(P, "_pretrained_params", fake_pretrained)
 
     stacked = pipelines.run_stacked([1, 2], "audio")
