@@ -29,6 +29,17 @@
 
 #include <zlib.h>
 
+// MP4 decode via libav (ffmpeg) when the dev headers are present — the
+// native path for SURVEY.md §2.2's "MP4 decode, resize, BGR->RGB" row. The
+// cv2 loop in ingest/video.py remains the always-available fallback.
+#ifdef EAV_HAVE_LIBAV
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libswscale/swscale.h>
+}
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -407,5 +418,113 @@ int eav_prefetch_pop(void* q, char* path_out, int path_cap, float** data,
 }
 
 void eav_prefetch_destroy(void* q) { delete (PrefetchQueue*)q; }
+
+// ---------------------------------------------------------------------------
+// MP4 strided frame decode (libav). Replaces the reference's cv2
+// read-every-frame loop (`Dataload_vision.py:49-62`): every frame is decoded
+// (inter-frame codecs require it) but only every `stride`-th is converted
+// YUV->RGB24, and the whole loop runs without the GIL so Python-side thread
+// pools scale.
+// ---------------------------------------------------------------------------
+
+// 1 when this build can decode mp4, else 0 (Python falls back to cv2).
+int eav_mp4_supported() {
+#ifdef EAV_HAVE_LIBAV
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Decodes frames 0, stride, 2*stride, ... < max_frames of the first video
+// stream into one contiguous (n, height, width, 3) uint8 RGB buffer
+// (malloc'd; caller frees with eav_free). Returns 0 on success.
+int eav_read_mp4_strided(const char* path, int stride, int max_frames,
+                         uint8_t** out, int* n_frames, int* height,
+                         int* width) {
+#ifndef EAV_HAVE_LIBAV
+  (void)path; (void)stride; (void)max_frames;
+  (void)out; (void)n_frames; (void)height; (void)width;
+  return fail("built without libav (rebuild with ffmpeg dev libraries)");
+#else
+  if (stride <= 0 || max_frames <= 0) return fail("bad stride/max_frames");
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
+    return fail(std::string("cannot open ") + path);
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return fail("no stream info");
+  }
+  int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vs < 0) {
+    avformat_close_input(&fmt);
+    return fail("no video stream");
+  }
+  AVCodecParameters* par = fmt->streams[vs]->codecpar;
+  const AVCodec* dec = avcodec_find_decoder(par->codec_id);
+  if (!dec) {
+    avformat_close_input(&fmt);
+    return fail("unsupported codec");
+  }
+  AVCodecContext* ctx = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(ctx, par);
+  if (avcodec_open2(ctx, dec, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return fail("cannot open codec");
+  }
+  const int w = par->width, h = par->height;
+  const int cap = (max_frames + stride - 1) / stride;
+  uint8_t* buf = (uint8_t*)malloc((size_t)cap * h * w * 3);
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int idx = 0, kept = 0;
+  bool done = false, error = false;
+  std::string err_msg;
+
+  auto handle_frame = [&](AVFrame* f) {
+    if (idx >= max_frames) { done = true; return; }
+    if (idx % stride == 0 && kept < cap) {
+      if (!sws) {
+        sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
+                             w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                             nullptr, nullptr);
+        if (!sws) { error = true; err_msg = "sws_getContext failed"; done = true; return; }
+      }
+      uint8_t* dst[1] = {buf + (size_t)kept * h * w * 3};
+      int lines[1] = {w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, lines);
+      kept++;
+    }
+    idx++;
+  };
+
+  while (!done && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == vs && avcodec_send_packet(ctx, pkt) == 0) {
+      while (!done && avcodec_receive_frame(ctx, frame) == 0)
+        handle_frame(frame);
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {  // drain the decoder
+    avcodec_send_packet(ctx, nullptr);
+    while (!done && avcodec_receive_frame(ctx, frame) == 0)
+      handle_frame(frame);
+  }
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  avformat_close_input(&fmt);
+  if (error) { free(buf); return fail(err_msg); }
+  if (kept == 0) { free(buf); return fail("no frames decoded"); }
+  *out = buf;
+  *n_frames = kept;
+  *height = h;
+  *width = w;
+  return 0;
+#endif
+}
 
 }  // extern "C"

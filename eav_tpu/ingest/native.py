@@ -68,6 +68,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.eav_prefetch_destroy.argtypes = [ctypes.c_void_p]
+    lib.eav_mp4_supported.restype = ctypes.c_int
+    lib.eav_read_mp4_strided.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return lib
 
@@ -123,6 +133,37 @@ def read_mat_var(path: str, name: str) -> np.ndarray:
     lib.eav_free(data)
     lib.eav_free(dims)
     return flat.reshape(shape, order="F")
+
+
+def mp4_supported() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.eav_mp4_supported())
+
+
+def read_mp4_strided(path: str, stride: int = 6, max_frames: int = 600) -> np.ndarray:
+    """Native libav decode of frames 0, stride, ... < max_frames ->
+    (n, H, W, 3) uint8 RGB. Decodes every frame (inter-frame codecs) but
+    color-converts only the kept ones, entirely outside the GIL — thread
+    pools over this call scale (ingest/video.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native ingest library not built")
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.eav_read_mp4_strided(
+        path.encode(), stride, max_frames, ctypes.byref(data),
+        ctypes.byref(n), ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise IOError(_last_error(lib))
+    total = n.value * h.value * w.value * 3
+    out = np.ctypeslib.as_array(data, shape=(total,)).reshape(
+        n.value, h.value, w.value, 3
+    ).copy()
+    lib.eav_free(data)
+    return out
 
 
 class WavPrefetcher:

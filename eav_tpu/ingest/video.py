@@ -26,14 +26,27 @@ from eav_tpu.core.config import EMOTION_TO_INDEX, VisionPreprocConfig
 
 
 def decode_strided_frames(
-    path: str, stride: int = 6, max_frames: int = 600
+    path: str, stride: int = 6, max_frames: int = 600, backend: str = "auto"
 ) -> List[np.ndarray]:
-    """cv2 decode: RGB frames 0, stride, 2*stride, ... < max_frames
-    (reference `Dataload_vision.py:49-62` keeps frame_index-1 % 6 == 0).
+    """RGB frames 0, stride, 2*stride, ... < max_frames (reference
+    `Dataload_vision.py:49-62` keeps frame_index-1 % 6 == 0).
 
-    Skipped frames are ``grab()``-ed only (decoded but never retrieved or
-    color-converted) — with stride 6 that drops 5/6 of the retrieve+cvtColor
-    work vs the reference's read-everything loop (~1.3x single-stream)."""
+    ``backend='auto'`` prefers the native libav decoder
+    (ingest/cpp eav_read_mp4_strided: GIL-free, converts only kept frames);
+    ``'cv2'`` forces the cv2 fallback, whose skipped frames are ``grab()``-ed
+    only (decoded but never retrieved or color-converted) — with stride 6
+    that drops 5/6 of the retrieve+cvtColor work vs the reference's
+    read-everything loop."""
+    if backend in ("auto", "native"):
+        try:
+            from eav_tpu.ingest import native
+
+            if native.mp4_supported():
+                arr = native.read_mp4_strided(path, stride, max_frames)
+                return list(arr)
+        except Exception:
+            if backend == "native":
+                raise
     import cv2
 
     cap = cv2.VideoCapture(path)

@@ -73,6 +73,8 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    from eav_tpu.ingest import native
+
     results = {}
 
     t0 = time.perf_counter()
@@ -80,14 +82,22 @@ def main(argv=None) -> int:
     results["reference_serial"] = len(paths) / (time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    n2 = sum(len(decode_strided_frames(p)) for p in paths)
+    n2 = sum(len(decode_strided_frames(p, backend="cv2")) for p in paths)
     results["grab_serial"] = len(paths) / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    n3 = sum(len(f) for _, f in decode_clips_threaded(paths))
-    results["grab_threaded"] = len(paths) / (time.perf_counter() - t0)
+    counts = [n_frames, n2]
+    if native.mp4_supported():
+        t0 = time.perf_counter()
+        counts.append(
+            sum(len(decode_strided_frames(p, backend="native")) for p in paths)
+        )
+        results["native_serial"] = len(paths) / (time.perf_counter() - t0)
 
-    assert n_frames == n2 == n3, (n_frames, n2, n3)
+    t0 = time.perf_counter()
+    counts.append(sum(len(f) for _, f in decode_clips_threaded(paths)))
+    results["threaded"] = len(paths) / (time.perf_counter() - t0)
+
+    assert len(set(counts)) == 1, counts
     base = results["reference_serial"]
     for k, v in results.items():
         print(json.dumps({"variant": k, "clips_per_s": round(v, 2),

@@ -66,3 +66,44 @@ def test_prefetch_queue(tmp_path, rng):
     for p, x in paths:
         np.testing.assert_allclose(got[p][0], x, atol=1.0 / 32000)
     pf.close()
+
+
+def _write_clip(path, frames=60, h=120, w=160):
+    import cv2
+
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    yy, xx = np.mgrid[0:h, 0:w]
+    for f in range(frames):
+        img = np.stack(
+            [(xx * 2 + f * 4) % 256, (yy * 2) % 256, ((xx + yy) + f * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        vw.write(img)
+    vw.release()
+
+
+def test_native_mp4_matches_cv2(tmp_path):
+    """The libav strided decoder returns the same frames as the cv2 grab
+    loop (`Dataload_vision.py:49-62` semantics): frames 0, 6, 12, ... Both
+    stacks route through ffmpeg, so outputs are bit-exact in practice; allow
+    a tiny tolerance for swscale rounding differences across versions."""
+    if not native.mp4_supported():
+        pytest.skip("built without libav")
+    from eav_tpu.ingest.video import decode_strided_frames
+
+    p = tmp_path / "clip.mp4"
+    _write_clip(p)
+    a = np.stack(decode_strided_frames(str(p), 6, 60, backend="native"))
+    b = np.stack(decode_strided_frames(str(p), 6, 60, backend="cv2"))
+    assert a.shape == b.shape == (10, 120, 160, 3)
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.mean() < 1.0 and np.percentile(diff, 99) <= 4
+
+
+def test_native_mp4_truncated_file_fails_cleanly(tmp_path):
+    if not native.mp4_supported():
+        pytest.skip("built without libav")
+    p = tmp_path / "bad.mp4"
+    p.write_bytes(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    with pytest.raises(IOError):
+        native.read_mp4_strided(str(p), 6, 60)
