@@ -40,7 +40,13 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, t, self.heads, d)
         k = k.reshape(b, t, self.heads, d)
         v = v.reshape(b, t, self.heads, d)
-        if self.attn_impl == "flash":
+        impl = self.attn_impl
+        if impl == "auto":
+            # flash wins on TPU at AST length (92.1 vs 104.2 ms/step measured
+            # v5e); elsewhere (CPU tests, interpret mode) XLA is the right
+            # default. Resolved at trace time — a Python branch, not lax.cond.
+            impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        if impl == "flash":
             from eav_tpu.ops.pallas.attention import flash_attention
 
             ctx = flash_attention(q, k, v)
