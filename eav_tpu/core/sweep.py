@@ -132,48 +132,68 @@ class SweepRunner:
         """Run pending subjects of one modality in groups through a batched
         task function (subjects -> {subject: TaskResult}) — used by the
         subject-parallel trainers. Journal/metrics records are identical to
-        the serial path, so resume/aggregate work unchanged."""
+        the serial path, so resume/aggregate work unchanged.
+
+        Fault isolation: a failing group is BISECTED — each half retries
+        independently, recursing until the offending subject(s) run alone —
+        so one bad subject (or an OOM at the full stack size) costs only its
+        own retry budget instead of poisoning every group member. The smaller
+        sub-stacks recompile, but only on the failure path."""
         state = self.journal_state()
         pending = [s for s, m in self.pending_tasks() if m == modality]
         for g in range(0, len(pending), group_size):
-            group = pending[g : g + group_size]
-            t0 = time.perf_counter()
-            try:
-                results = batch_fn(group)
-                wall = time.perf_counter() - t0
-                for s in group:
-                    tid = self._task_id(s, modality)
-                    metrics = dict(results[s].metrics)
-                    metrics.update(
-                        subject=s, modality=modality,
-                        wall_clock_s=round(wall / len(group), 3),
-                    )
-                    _append_jsonl(self.cfg.metrics_path, metrics)
-                    rec = {
-                        "task": tid, "status": "done",
-                        "attempts": state.get(tid, {}).get("attempts", 0) + 1,
-                        "wall_clock_s": round(wall / len(group), 3),
-                        "ts": time.time(),
-                    }
-                    _append_jsonl(self.cfg.journal_path, rec)
-                    state[tid] = rec
-                if verbose:
-                    print(f"[sweep] {modality} subjects {group} done in {wall:.1f}s")
-            except Exception as e:  # noqa: BLE001
-                for s in group:
-                    tid = self._task_id(s, modality)
-                    rec = {
-                        "task": tid, "status": "failed",
-                        "attempts": state.get(tid, {}).get("attempts", 0) + 1,
-                        "error": f"{type(e).__name__}: {e}",
-                        "traceback": traceback.format_exc(limit=5),
-                        "ts": time.time(),
-                    }
-                    _append_jsonl(self.cfg.journal_path, rec)
-                    state[tid] = rec
-                if verbose:
-                    print(f"[sweep] {modality} group {group} FAILED ({e})")
+            self._run_group(modality, batch_fn, pending[g : g + group_size],
+                            state, verbose)
         return state
+
+    def _run_group(self, modality: str, batch_fn, group: List[int],
+                   state: Dict[str, dict], verbose: bool) -> None:
+        t0 = time.perf_counter()
+        try:
+            results = batch_fn(group)
+            wall = time.perf_counter() - t0
+            for s in group:
+                tid = self._task_id(s, modality)
+                metrics = dict(results[s].metrics)
+                metrics.update(
+                    subject=s, modality=modality,
+                    wall_clock_s=round(wall / len(group), 3),
+                )
+                _append_jsonl(self.cfg.metrics_path, metrics)
+                rec = {
+                    "task": tid, "status": "done",
+                    "attempts": state.get(tid, {}).get("attempts", 0) + 1,
+                    "wall_clock_s": round(wall / len(group), 3),
+                    "ts": time.time(),
+                }
+                _append_jsonl(self.cfg.journal_path, rec)
+                state[tid] = rec
+            if verbose:
+                print(f"[sweep] {modality} subjects {group} done in {wall:.1f}s")
+        except Exception as e:  # noqa: BLE001 — task isolation is the point
+            if len(group) > 1:
+                if verbose:
+                    print(
+                        f"[sweep] {modality} group {group} failed ({e}); "
+                        "bisecting to isolate"
+                    )
+                mid = len(group) // 2
+                self._run_group(modality, batch_fn, group[:mid], state, verbose)
+                self._run_group(modality, batch_fn, group[mid:], state, verbose)
+                return
+            s = group[0]
+            tid = self._task_id(s, modality)
+            rec = {
+                "task": tid, "status": "failed",
+                "attempts": state.get(tid, {}).get("attempts", 0) + 1,
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc(limit=5),
+                "ts": time.time(),
+            }
+            _append_jsonl(self.cfg.journal_path, rec)
+            state[tid] = rec
+            if verbose:
+                print(f"[sweep] {tid} FAILED ({rec['error']})")
 
     def aggregate(self) -> Dict[str, Dict[str, float]]:
         """Per-modality mean/std of accuracy and weighted F1 over subjects —

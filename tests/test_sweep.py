@@ -97,16 +97,29 @@ def test_run_batched(tmp_path):
     assert agg["eeg"]["n_subjects"] == 5
 
 
-def test_run_batched_failure_isolated(tmp_path):
+def test_run_batched_failure_bisects_to_offender(tmp_path):
+    """A failing group bisects until the bad subject runs alone: healthy
+    group members complete and only the offender's retry budget burns
+    (VERDICT round-1 weak item on run_batched)."""
     from eav_tpu.core.sweep import TaskResult as TR
 
+    calls = []
+
     def batch_fn(subjects):
+        calls.append(tuple(subjects))
         if 2 in subjects:
             raise RuntimeError("group boom")
         return {s: TR(metrics={"accuracy": 0.4}) for s in subjects}
 
     cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4), modalities=("eeg",))
     runner = SweepRunner(cfg, lambda s, m: None)
-    state = runner.run_batched("eeg", batch_fn, group_size=2, verbose=False)
-    assert state["subject01_eeg"]["status"] == "failed"  # group of (1,2) failed
-    assert state["subject03_eeg"]["status"] == "done"
+    state = runner.run_batched("eeg", batch_fn, group_size=4, verbose=False)
+    assert state["subject02_eeg"]["status"] == "failed"
+    assert "group boom" in state["subject02_eeg"]["error"]
+    for s in (1, 3, 4):
+        assert state[f"subject{s:02d}_eeg"]["status"] == "done", s
+    # only the offender is pending (it has one retry left)
+    assert runner.pending_tasks() == [(2, "eeg")]
+    # the bisection pattern: (1,2,3,4) fail -> (1,2) fail -> (1) ok, (2) fail,
+    # then (3,4) ok
+    assert calls == [(1, 2, 3, 4), (1, 2), (1,), (2,), (3, 4)]
