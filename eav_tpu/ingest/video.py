@@ -34,9 +34,13 @@ def decode_strided_frames(
     ``backend='auto'`` prefers the native libav decoder
     (ingest/cpp eav_read_mp4_strided: GIL-free, converts only kept frames);
     ``'cv2'`` forces the cv2 fallback, whose skipped frames are ``grab()``-ed
-    only (decoded but never retrieved or color-converted) — with stride 6
-    that drops 5/6 of the retrieve+cvtColor work vs the reference's
-    read-everything loop."""
+    only (decoded but never retrieved or color-converted). Measured
+    (scripts/bench_video_decode.py, 60x600-frame 320x240 mp4v clips, 1-core
+    host): native 3.58 clips/s ~= cv2 read-everything 3.69; the cv2
+    grab/retrieve split measured SLOWER there (2.48) — codec decode
+    dominates at that resolution, and conversion skipping pays off only at
+    higher resolutions. Decode is CPU-bound: the threaded pool scales with
+    host cores (both backends release the GIL), not on a 1-core host."""
     if backend in ("auto", "native"):
         try:
             from eav_tpu.ingest import native
@@ -75,11 +79,12 @@ def decode_clips_threaded(
     prefetch: Optional[int] = None,
 ):
     """Decode many clips concurrently, yielding (path, frames) in input
-    order. cv2's FFmpeg backend releases the GIL inside grab/retrieve, so N
-    worker threads scale with host cores AND overlap the next clips' decode
-    with the consumer's crop/MTCNN/device work even on one core — the
-    threaded equivalent of the native WAV prefetch queue (SURVEY.md §2.2 mp4
-    row), kept in Python because the decoder itself is already native.
+    order. Both the native libav reader (a ctypes call) and cv2's FFmpeg
+    backend release the GIL, so N worker threads scale with host cores AND
+    overlap the next clips' decode with the consumer's crop/MTCNN/device
+    work even on one core — the threaded equivalent of the native WAV
+    prefetch queue (SURVEY.md §2.2 mp4 row), kept in Python because the
+    decoder itself is native.
 
     In-flight clips are bounded by ``prefetch`` (default workers + 1):
     unbounded submission would buffer every decoded clip's frames ahead of
