@@ -69,3 +69,20 @@ def test_flash_gradients_match_bf16_odd_length(rng):
             np.asarray(a, np.float32), np.asarray(b_, np.float32),
             rtol=0.08, atol=0.08,  # bf16 reference path is itself low-precision
         )
+
+
+def test_attn_impl_auto_resolves_to_xla_on_cpu(rng):
+    """attn_impl='auto' (the ast_finetune preset value) must resolve to the
+    XLA path off-TPU — flash-in-interpret-mode would be pathologically slow
+    in CPU runs — and stay logit-identical to the explicit XLA setting."""
+    import jax.numpy as jnp
+
+    from eav_tpu.models.ast import ast_tiny
+
+    x = rng.normal(size=(2, 128, 128)).astype("float32")
+    m_auto = ast_tiny(attn_impl="auto")
+    m_xla = ast_tiny(attn_impl="xla")
+    v = m_xla.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    out_auto = np.asarray(m_auto.apply(v, jnp.asarray(x), train=False))
+    out_xla = np.asarray(m_xla.apply(v, jnp.asarray(x), train=False))
+    np.testing.assert_array_equal(out_auto, out_xla)

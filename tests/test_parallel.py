@@ -216,3 +216,41 @@ def test_stacked_keep_epoch_logits(rng):
     np.testing.assert_allclose(
         res.epoch_logits[:, -1], res.outputs_test, rtol=1e-5, atol=1e-6
     )
+
+
+def test_fit_stacked_partial_pretrained_overlay():
+    """A backbone-only (partial) pretrained tree broadcast over the subject
+    axis overlays the stacked random init — the stacked analogue of
+    JitTrainer.fit's overlay path (train/loop.overlay_params)."""
+    import jax
+    import numpy as np
+
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+    from eav_tpu.parallel.subject import SubjectParallelTrainer
+
+    rng = np.random.default_rng(0)
+    S, n_tr, n_te, C, T = 2, 8, 4, 4, 64
+    data = (
+        rng.normal(size=(S, n_tr, C, T)).astype(np.float32),
+        rng.integers(0, 5, (S, n_tr)).astype(np.int32),
+        rng.normal(size=(S, n_te, C, T)).astype(np.float32),
+        rng.integers(0, 5, (S, n_te)).astype(np.int32),
+    )
+    model = EEGNet(chans=C, samples=T, kern_length=8, f1=2, d=2, f2=4)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=4, optimizer="adam",
+        phases=(PhaseConfig(epochs=1, lr=0.0, freeze=False),),  # lr=0: params frozen in place
+    )
+    # partial init: only the head, broadcast over subjects
+    head_kernel = np.full((960 // 960 * model.f2 * (T // 4 // 8), 5), 0.125, np.float32)
+    head = {"head": {"kernel": np.broadcast_to(head_kernel, (S,) + head_kernel.shape)}}
+    sp = SubjectParallelTrainer(model, cfg, maxnorm_rules=model.maxnorm_rules)
+    res = sp.fit_stacked(data, seeds=[0, 1], init_params=head)
+    got = np.asarray(res.params["head"]["kernel"])
+    # lr=0 => the head kernel must still be the overlaid value (modulo the
+    # maxnorm projection applied at init, which this value is within)
+    assert np.allclose(got, 0.125), got.ravel()[:4]
+    # and the temporal conv kernels differ across subjects (random init kept)
+    k = np.asarray(res.params["conv_temporal"]["kernel"])
+    assert not np.allclose(k[0], k[1])
