@@ -254,3 +254,50 @@ def test_fit_stacked_partial_pretrained_overlay():
     # and the temporal conv kernels differ across subjects (random init kept)
     k = np.asarray(res.params["conv_temporal"]["kernel"])
     assert not np.allclose(k[0], k[1])
+
+
+def test_tp_sharded_train_step_matches_unsharded(rng):
+    """Megatron-style TP shardings (parallel/tp.py) must be a pure layout
+    choice: loss AND per-leaf gradients of a tiny AST with params sharded
+    over a 4-way model axis match the unsharded step to float tolerance
+    (XLA inserts the ICI collectives; math unchanged). Gradients — not
+    post-Adam params — are compared: Adam's step-1 normalization g/|g|
+    amplifies reduction-order noise on near-zero grads into +-lr sign flips,
+    which says nothing about the sharding's correctness."""
+    import jax
+    import jax.numpy as jnp
+
+    from eav_tpu.models.ast import ast_tiny
+    from eav_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+    from eav_tpu.parallel.tp import shard_params_tp
+    from eav_tpu.train.loop import cross_entropy
+
+    model = ast_tiny(heads=4, hidden=64, mlp_dim=128)
+    x = jnp.asarray(rng.normal(size=(4, 128, 128)).astype("float32"))
+    y = jnp.asarray(rng.integers(0, 5, 4).astype("int32"))
+    params = model.init(jax.random.PRNGKey(0), x[:1], train=False)["params"]
+
+    @jax.jit
+    def loss_and_grads(params):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, train=False)
+            return cross_entropy(logits, y, jnp.ones_like(y, jnp.float32))
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_ref, grads_ref = loss_and_grads(params)
+
+    mesh = make_mesh(((DATA_AXIS, 2), (MODEL_AXIS, 4)))
+    params_tp = shard_params_tp(params, mesh)
+    loss_tp, grads_tp = loss_and_grads(params_tp)
+
+    assert np.allclose(float(loss_ref), float(loss_tp), rtol=1e-5)
+    # normalize by the GLOBAL grad scale: leaves whose true gradient is
+    # mathematically zero (attn key bias — softmax cancels a per-row
+    # constant) carry only ~1e-8 float noise on both sides
+    scale = max(
+        float(np.max(np.abs(np.asarray(g)))) for g in jax.tree.leaves(grads_ref)
+    )
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_tp)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
