@@ -148,11 +148,12 @@ def bench_torch_cpu(epochs: int = 2) -> float:
 
 
 # torch.optim.AdamW step of an AST-base-equivalent model (12L/768h/1214
-# tokens, bs=8) measured on THIS host's 1-core CPU on 2026-08-16: 397 s for
-# one fwd+bwd+step (/tmp-scripted eager torch, MultiheadAttention blocks) —
-# 8/397 = 0.0202 samples/s. Re-measure live with EAV_BENCH_MEASURE_TORCH=1
-# (budget ~15 min).
-TORCH_AST_CPU_SPS = 8.0 / 397.0
+# tokens, bs=8) measured on THIS host's 1-core CPU on 2026-08-16 with
+# bench_torch_ast_cpu's exact model: warm steady-state step2 = 170.1 s
+# fwd+bwd+step -> 0.047 samples/s (cold step1 was 227-397 s; the faster
+# warm number is used, which is the CONSERVATIVE choice for vs_baseline).
+# Re-measure live with EAV_BENCH_MEASURE_TORCH=1 (budget ~10 min).
+TORCH_AST_CPU_SPS = 8.0 / 170.1
 
 
 def bench_torch_ast_cpu(steps: int = 1, batch: int = 8) -> float:
