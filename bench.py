@@ -313,10 +313,19 @@ def bench_ast_tpu(steps: int = 20, batch: int = 8, dtype: str = "bf16") -> float
 def main():
     import sys
 
-    def with_retry(fn, attempts=2, wait_s=180):
+    def with_retry(fn, attempts=2, wait_s=180, attempt_timeout_s=900):
         """The axon TPU worker occasionally crashes and auto-recovers in a
-        few minutes; retry once after a pause."""
+        few minutes — and sometimes HANGS (observed: a 29-min stall on a
+        cached-compile program). Each attempt gets a SIGALRM watchdog so a
+        hang turns into a retry instead of stalling the driver."""
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError(f"bench attempt exceeded {attempt_timeout_s}s")
+
         for i in range(attempts):
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(attempt_timeout_s)
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001
@@ -324,6 +333,9 @@ def main():
                     raise
                 print(f"# bench attempt failed ({type(e).__name__}); retrying in {wait_s}s")
                 time.sleep(wait_s)
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
 
     if "--eegnet" in sys.argv:
         # round 1's metric, kept for cross-round comparability
