@@ -86,3 +86,27 @@ def test_attn_impl_auto_resolves_to_xla_on_cpu(rng):
     out_auto = np.asarray(m_auto.apply(v, jnp.asarray(x), train=False))
     out_xla = np.asarray(m_xla.apply(v, jnp.asarray(x), train=False))
     np.testing.assert_array_equal(out_auto, out_xla)
+
+
+def test_flash_under_vmap_matches_reference(rng):
+    """The subject-parallel path vmaps the model (and thus the kernel) over
+    a leading stack axis; Pallas lifts vmap into an extra grid dimension —
+    values and grads must still match the einsum reference."""
+    s, b, t, h, d = 3, 2, 96, 2, 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(s, b, t, h, d)).astype("float32"))
+        for _ in range(3)
+    )
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v) ** 2).sum()
+
+    vf = jax.vmap(jax.value_and_grad(loss_flash, argnums=(0, 1, 2)))
+    vr = jax.vmap(jax.value_and_grad(loss_ref, argnums=(0, 1, 2)))
+    (lf, gf), (lr, gr) = vf(q, k, v), vr(q, k, v)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr), rtol=2e-5)
+    for a, b2 in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=5e-4, atol=5e-5)
