@@ -54,7 +54,7 @@ def _pick_block(t: int) -> int:
     padded length — big blocks amortize per-grid-step overhead (at 128x128
     the Mosaic grid dominated wall-clock), small ones avoid padding waste on
     short sequences."""
-    candidates = (512, 256, 128)
+    candidates = (640, 512, 256, 128)
     pads = {c: -(-t // c) * c for c in candidates}
     best = min(pads.values())
     for c in candidates:  # prefer the largest block among minimal pads
