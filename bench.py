@@ -329,6 +329,9 @@ def main():
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001
+                # disarm BEFORE the retry sleep — a pending alarm firing
+                # mid-sleep would kill the retry the watchdog exists for
+                signal.alarm(0)
                 if i == attempts - 1:
                     raise
                 print(f"# bench attempt failed ({type(e).__name__}); retrying in {wait_s}s")

@@ -467,15 +467,25 @@ int eav_read_mp4_strided(const char* path, int stride, int max_frames,
     return fail("unsupported codec");
   }
   AVCodecContext* ctx = avcodec_alloc_context3(dec);
-  avcodec_parameters_to_context(ctx, par);
-  if (avcodec_open2(ctx, dec, nullptr) < 0) {
-    avcodec_free_context(&ctx);
+  if (!ctx || avcodec_parameters_to_context(ctx, par) < 0 ||
+      avcodec_open2(ctx, dec, nullptr) < 0) {
+    if (ctx) avcodec_free_context(&ctx);
     avformat_close_input(&fmt);
     return fail("cannot open codec");
   }
   const int w = par->width, h = par->height;
+  if (w <= 0 || h <= 0) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return fail("bad video dimensions");
+  }
   const int cap = (max_frames + stride - 1) / stride;
   uint8_t* buf = (uint8_t*)malloc((size_t)cap * h * w * 3);
+  if (!buf) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return fail("out of memory for frame buffer");
+  }
   SwsContext* sws = nullptr;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();

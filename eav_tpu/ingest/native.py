@@ -21,24 +21,31 @@ _lib = None
 _tried_build = False
 
 
+def _make(force: bool = False) -> bool:
+    try:
+        cmd = ["make", "-C", _DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _load():
     global _lib, _tried_build
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO) and not _tried_build:
         _tried_build = True
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
+        _make()
     if not os.path.exists(_SO):
         return None
     lib = ctypes.CDLL(_SO)
+    if not hasattr(lib, "eav_mp4_supported") and not _tried_build:
+        # stale .so from an older build (pre-mp4 ABI): rebuild once rather
+        # than crashing every native call with AttributeError
+        _tried_build = True
+        if _make(force=True):
+            lib = ctypes.CDLL(_SO)
     lib.eav_last_error.restype = ctypes.c_char_p
     lib.eav_read_wav.argtypes = [
         ctypes.c_char_p,
@@ -68,16 +75,20 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.eav_prefetch_destroy.argtypes = [ctypes.c_void_p]
-    lib.eav_mp4_supported.restype = ctypes.c_int
-    lib.eav_read_mp4_strided.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_int,
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
-    ]
+    if hasattr(lib, "eav_mp4_supported"):
+        lib.eav_mp4_supported.restype = ctypes.c_int
+        lib.eav_read_mp4_strided.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib._eav_has_mp4 = bool(lib.eav_mp4_supported())
+    else:  # stale pre-mp4 .so and the rebuild failed: WAV/mat still work
+        lib._eav_has_mp4 = False
     _lib = lib
     return lib
 
@@ -137,7 +148,7 @@ def read_mat_var(path: str, name: str) -> np.ndarray:
 
 def mp4_supported() -> bool:
     lib = _load()
-    return bool(lib is not None and lib.eav_mp4_supported())
+    return bool(lib is not None and lib._eav_has_mp4)
 
 
 def read_mp4_strided(path: str, stride: int = 6, max_frames: int = 600) -> np.ndarray:
@@ -148,6 +159,8 @@ def read_mp4_strided(path: str, stride: int = 6, max_frames: int = 600) -> np.nd
     lib = _load()
     if lib is None:
         raise RuntimeError("native ingest library not built")
+    if not lib._eav_has_mp4:
+        raise RuntimeError("native library built without mp4 support")
     data = ctypes.POINTER(ctypes.c_uint8)()
     n = ctypes.c_int()
     h = ctypes.c_int()

@@ -48,6 +48,11 @@ def decode_strided_frames(
             if native.mp4_supported():
                 arr = native.read_mp4_strided(path, stride, max_frames)
                 return list(arr)
+            if backend == "native":
+                raise RuntimeError(
+                    "backend='native' requested but the ingest library was "
+                    "built without libav"
+                )
         except Exception:
             if backend == "native":
                 raise

@@ -50,17 +50,18 @@ NEG_INF = -1e30
 
 
 def _pick_block(t: int) -> int:
-    """Square block size: largest of (512, 256, 128) that minimizes the
-    padded length — big blocks amortize per-grid-step overhead (at 128x128
-    the Mosaic grid dominated wall-clock), small ones avoid padding waste on
-    short sequences."""
+    """Square block size: the largest candidate that minimizes the padded
+    length — big blocks amortize per-grid-step overhead (at 128x128 the
+    Mosaic grid dominated wall-clock), small ones avoid padding waste on
+    short sequences. 640 is there for the AST length (1214 -> 1280 = 2x640),
+    where it puts the kernel ahead of XLA."""
     candidates = (640, 512, 256, 128)
     pads = {c: -(-t // c) * c for c in candidates}
     best = min(pads.values())
     for c in candidates:  # prefer the largest block among minimal pads
         if pads[c] == best:
             return c
-    return 128
+    raise AssertionError("unreachable: best is always one candidate's pad")
 
 
 def _flash_kernel(

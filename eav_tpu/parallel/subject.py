@@ -109,20 +109,47 @@ class SubjectParallelTrainer:
                 params = maxnorm_project(params, self.inner.maxnorm_rules)
             return params, variables.get("batch_stats", {})
 
-        params, bstats = jax.vmap(init_one)(init_keys, tr_x)
-        if init_params is not None:
+        if init_params is None:
+            params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+        else:
             # stacked pretrained trees overlay the fresh init (possibly
             # partially, e.g. a backbone-only checkpoint) — identical
-            # semantics to JitTrainer.fit's overlay_params path
+            # semantics to JitTrainer.fit's overlay_params path. Full trees
+            # skip the fresh init entirely (cheap structure check via
+            # eval_shape — no compile, no allocation).
             from eav_tpu.train.loop import overlay_params
 
             if isinstance(init_params, tuple) and len(init_params) == 2:
                 given_p, given_b = init_params
             else:  # bare stacked params
                 given_p, given_b = init_params, None
-            params = overlay_params(params, jax.tree.map(jnp.asarray, given_p))
+            given_p = jax.tree.map(jnp.asarray, given_p)
             if given_b is not None:
-                bstats = overlay_params(bstats, jax.tree.map(jnp.asarray, given_b))
+                given_b = jax.tree.map(jnp.asarray, given_b)
+            p_shapes, b_shapes = jax.eval_shape(jax.vmap(init_one), init_keys, tr_x)
+            structure = jax.tree_util.tree_structure
+            full_p = structure(given_p) == structure(p_shapes)
+            full_b = (
+                structure(given_b) == structure(b_shapes)
+                if given_b is not None
+                else not jax.tree_util.tree_leaves(b_shapes)
+            )
+            if full_p and full_b:
+                params = given_p
+                bstats = given_b if given_b is not None else {}
+            else:
+                params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+                params = overlay_params(params, given_p)
+                if given_b is not None:
+                    bstats = overlay_params(bstats, given_b)
+            if self.inner.maxnorm_rules:
+                # match JitTrainer.fit: constraints hold at init AFTER the
+                # pretrained overlay (torch applies renorm hooks regardless
+                # of where the weights came from); vmapped so the per-param
+                # projection axes are not shifted by the subject dim
+                params = jax.vmap(
+                    lambda p: maxnorm_project(p, self.inner.maxnorm_rules)
+                )(params)
         opt_state = jax.vmap(init_adam_state)(params)
 
         # masks are identical across subjects (same structure)
