@@ -436,22 +436,68 @@ int eav_mp4_supported() {
 #endif
 }
 
-// Decodes frames 0, stride, 2*stride, ... < max_frames of the first video
-// stream into one contiguous (n, height, width, 3) uint8 RGB buffer
-// (malloc'd; caller frees with eav_free). Returns 0 on success.
-int eav_read_mp4_strided(const char* path, int stride, int max_frames,
-                         uint8_t** out, int* n_frames, int* height,
-                         int* width) {
+// Header-only probe: video dimensions without decoding (mp4 moov carries
+// codec params). Lets the caller pre-allocate the exact frame buffer for
+// eav_read_mp4_strided_into.
+int eav_mp4_probe(const char* path, int* width, int* height) {
 #ifndef EAV_HAVE_LIBAV
-  (void)path; (void)stride; (void)max_frames;
-  (void)out; (void)n_frames; (void)height; (void)width;
+  (void)path; (void)width; (void)height;
+  return fail("built without libav (rebuild with ffmpeg dev libraries)");
+#else
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
+    return fail(std::string("cannot open ") + path);
+  int w = 0, h = 0;
+  for (unsigned i = 0; i < fmt->nb_streams; ++i) {
+    AVCodecParameters* p = fmt->streams[i]->codecpar;
+    if (p->codec_type == AVMEDIA_TYPE_VIDEO && p->width > 0 && p->height > 0) {
+      w = p->width; h = p->height;
+      break;
+    }
+  }
+  if (w == 0 && avformat_find_stream_info(fmt, nullptr) >= 0) {
+    for (unsigned i = 0; i < fmt->nb_streams; ++i) {
+      AVCodecParameters* p = fmt->streams[i]->codecpar;
+      if (p->codec_type == AVMEDIA_TYPE_VIDEO) { w = p->width; h = p->height; break; }
+    }
+  }
+  avformat_close_input(&fmt);
+  if (w <= 0 || h <= 0) return fail("no video stream");
+  *width = w; *height = h;
+  return 0;
+#endif
+}
+
+// Decodes frames 0, stride, 2*stride, ... < max_frames of the first video
+// stream, writing RGB24 frames directly into the caller's buffer (e.g. a
+// pre-allocated numpy array — avoids a second multi-hundred-MB copy, which
+// costs seconds on hosts with slow first-touch memory). cap_bytes bounds
+// the buffer. Returns 0 on success.
+int eav_read_mp4_strided_into(const char* path, int stride, int max_frames,
+                              uint8_t* buf, long cap_bytes, int* n_frames,
+                              int* height, int* width) {
+#ifndef EAV_HAVE_LIBAV
+  (void)path; (void)stride; (void)max_frames; (void)buf; (void)cap_bytes;
+  (void)n_frames; (void)height; (void)width;
   return fail("built without libav (rebuild with ffmpeg dev libraries)");
 #else
   if (stride <= 0 || max_frames <= 0) return fail("bad stride/max_frames");
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
     return fail(std::string("cannot open ") + path);
-  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+  // mp4 moov atoms already carry codec parameters; find_stream_info would
+  // pre-decode a probe window per file (a large per-clip cost at HD).
+  // Only fall back to probing when the header left params unfilled.
+  bool have_params = false;
+  for (unsigned i = 0; i < fmt->nb_streams; ++i) {
+    AVCodecParameters* p = fmt->streams[i]->codecpar;
+    if (p->codec_type == AVMEDIA_TYPE_VIDEO && p->codec_id != AV_CODEC_ID_NONE &&
+        p->width > 0 && p->height > 0) {
+      have_params = true;
+      break;
+    }
+  }
+  if (!have_params && avformat_find_stream_info(fmt, nullptr) < 0) {
     avformat_close_input(&fmt);
     return fail("no stream info");
   }
@@ -480,11 +526,10 @@ int eav_read_mp4_strided(const char* path, int stride, int max_frames,
     return fail("bad video dimensions");
   }
   const int cap = (max_frames + stride - 1) / stride;
-  uint8_t* buf = (uint8_t*)malloc((size_t)cap * h * w * 3);
-  if (!buf) {
+  if ((long)cap * h * w * 3 > cap_bytes) {
     avcodec_free_context(&ctx);
     avformat_close_input(&fmt);
-    return fail("out of memory for frame buffer");
+    return fail("caller buffer too small for decoded frames");
   }
   SwsContext* sws = nullptr;
   AVPacket* pkt = av_packet_alloc();
@@ -498,7 +543,7 @@ int eav_read_mp4_strided(const char* path, int stride, int max_frames,
     if (idx % stride == 0 && kept < cap) {
       if (!sws) {
         sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
-                             w, h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                             w, h, AV_PIX_FMT_RGB24, SWS_FAST_BILINEAR, nullptr,
                              nullptr, nullptr);
         if (!sws) { error = true; err_msg = "sws_getContext failed"; done = true; return; }
       }
@@ -527,12 +572,34 @@ int eav_read_mp4_strided(const char* path, int stride, int max_frames,
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);
   avformat_close_input(&fmt);
-  if (error) { free(buf); return fail(err_msg); }
-  if (kept == 0) { free(buf); return fail("no frames decoded"); }
-  *out = buf;
+  if (error) return fail(err_msg);
+  if (kept == 0) return fail("no frames decoded");
   *n_frames = kept;
   *height = h;
   *width = w;
+  return 0;
+#endif
+}
+
+// Legacy allocating variant (kept for ABI stability): probe, allocate, fill.
+int eav_read_mp4_strided(const char* path, int stride, int max_frames,
+                         uint8_t** out, int* n_frames, int* height,
+                         int* width) {
+#ifndef EAV_HAVE_LIBAV
+  (void)path; (void)stride; (void)max_frames;
+  (void)out; (void)n_frames; (void)height; (void)width;
+  return fail("built without libav (rebuild with ffmpeg dev libraries)");
+#else
+  int w = 0, h = 0;
+  if (eav_mp4_probe(path, &w, &h) != 0) return -1;
+  const long cap_bytes =
+      (long)((max_frames + stride - 1) / stride) * h * w * 3;
+  uint8_t* buf = (uint8_t*)malloc(cap_bytes);
+  if (!buf) return fail("out of memory for frame buffer");
+  int rc = eav_read_mp4_strided_into(path, stride, max_frames, buf, cap_bytes,
+                                     n_frames, height, width);
+  if (rc != 0) { free(buf); return rc; }
+  *out = buf;
   return 0;
 #endif
 }
