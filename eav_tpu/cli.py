@@ -67,6 +67,21 @@ def cmd_run(args) -> int:
         max_retries=args.max_retries,
     )
     runner = SweepRunner(cfg, pipelines.task_fn)
+    profile_cm = None
+    if args.profile:
+        from eav_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+        profile_cm.__enter__()
+    try:
+        return _run_sweep(args, cfg, runner, pipelines)
+    finally:
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+            print(f"[profile] jax.profiler trace written to {args.profile}")
+
+
+def _run_sweep(args, cfg, runner, pipelines) -> int:
     if args.subject_parallel > 1:
         for mod in ("eeg", "eeg_conformer", "audio", "audio_scnn",
                     "vision", "vision_resnet"):
@@ -142,6 +157,10 @@ def main(argv=None) -> int:
     run.add_argument(
         "--config", default=None,
         help="YAML/JSON file of nested overrides applied before --set",
+    )
+    run.add_argument(
+        "--profile", default=None, metavar="LOGDIR",
+        help="wrap the sweep in a jax.profiler trace (view in xprof/TensorBoard)",
     )
     run.set_defaults(fn=cmd_run)
 
