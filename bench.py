@@ -4,13 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Default workload (the reference's headline pipeline, `Transformer_Audio.py`):
 AST-base (12L/768h, 1214 tokens) unfrozen AdamW fine-tune steps at the
-published bs=8, run subject-parallel (4 stacked subjects vmap-packed on one
-chip, bf16 MXU compute) — which is how the framework actually executes the
-42-subject sweep. ``vs_baseline`` = our samples/sec / the reference-style
-torch AST-base train step on this host's CPU (the only hardware the torch
-reference can use in this image). One torch step takes ~400 s on this 1-core
-host, so the torch number is a measured constant (see TORCH_AST_CPU_SPS for
-provenance); set EAV_BENCH_MEASURE_TORCH=1 to re-measure it live.
+published bs=8 on one chip, on the production preset path (bf16 MXU compute
++ Pallas flash attention + donated optimizer state). The sweep spreads AST
+subjects ACROSS chips (vmap-stacking measurably does not help at this model
+size — see ``--stacked``), so the serial per-chip step IS the production
+number. ``vs_baseline`` = our samples/sec / the reference-style torch
+AST-base train step on this host's CPU (the only hardware the torch
+reference can use in this image): 170 s per warm step, so the torch number
+is a measured constant (see TORCH_AST_CPU_SPS for provenance); set
+EAV_BENCH_MEASURE_TORCH=1 to re-measure it live.
+
+The measurement runs in a child process under a hard timeout (the axon TPU
+worker sometimes hangs inside native code, where no in-process watchdog can
+fire); one retry after 180 s.
 
 ``--eegnet`` keeps round 1's metric (EEGNet subject-parallel vs live torch
 CPU, `Dataload_eeg.py:250-256` recipe) for cross-round comparability.
@@ -313,32 +319,41 @@ def bench_ast_tpu(steps: int = 20, batch: int = 8, dtype: str = "bf16") -> float
 def main():
     import sys
 
-    def with_retry(fn, attempts=2, wait_s=180, attempt_timeout_s=900):
-        """The axon TPU worker occasionally crashes and auto-recovers in a
-        few minutes — and sometimes HANGS (observed: a 29-min stall on a
-        cached-compile program). Each attempt gets a SIGALRM watchdog so a
-        hang turns into a retry instead of stalling the driver."""
-        import signal
+    if "--_inproc" not in sys.argv:
+        # Watchdog: the axon TPU worker occasionally crashes and auto-recovers
+        # in a few minutes — and sometimes HANGS inside native code (observed:
+        # a 29-min stall on a cached-compile program), where a SIGALRM can
+        # never raise (CPython only runs handlers between bytecodes). So the
+        # measurement runs in a CHILD process under a hard subprocess timeout;
+        # a hang/crash becomes one retried attempt. Cold-cache compiles are
+        # minutes-slow, hence the generous default (override with
+        # EAV_BENCH_TIMEOUT seconds).
+        import subprocess
 
-        def _alarm(signum, frame):
-            raise TimeoutError(f"bench attempt exceeded {attempt_timeout_s}s")
-
-        for i in range(attempts):
-            old = signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(attempt_timeout_s)
+        timeout_s = int(os.environ.get("EAV_BENCH_TIMEOUT", "2400"))
+        child_cmd = [sys.executable, os.path.abspath(__file__), "--_inproc"] + sys.argv[1:]
+        last_err = None
+        for attempt in range(2):
             try:
-                return fn()
-            except Exception as e:  # noqa: BLE001
-                # disarm BEFORE the retry sleep — a pending alarm firing
-                # mid-sleep would kill the retry the watchdog exists for
-                signal.alarm(0)
-                if i == attempts - 1:
-                    raise
-                print(f"# bench attempt failed ({type(e).__name__}); retrying in {wait_s}s")
-                time.sleep(wait_s)
-            finally:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
+                r = subprocess.run(
+                    child_cmd, capture_output=True, text=True, timeout=timeout_s
+                )
+            except subprocess.TimeoutExpired:
+                last_err = f"attempt timed out after {timeout_s}s"
+            else:
+                lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+                if r.returncode == 0 and lines:
+                    print(lines[-1])
+                    return
+                last_err = (r.stderr or r.stdout).strip().splitlines()[-5:]
+            if attempt == 0:
+                print(f"# bench attempt failed ({last_err}); retrying in 180s")
+                time.sleep(180)
+        raise SystemExit(f"bench failed after retries: {last_err}")
+
+    def with_retry(fn, **_kw):
+        # retries/timeouts are handled by the parent-process watchdog above
+        return fn()
 
     if "--eegnet" in sys.argv:
         # round 1's metric, kept for cross-round comparability

@@ -67,18 +67,14 @@ def cmd_run(args) -> int:
         max_retries=args.max_retries,
     )
     runner = SweepRunner(cfg, pipelines.task_fn)
-    profile_cm = None
     if args.profile:
         from eav_tpu.utils.profiling import trace
 
-        profile_cm = trace(args.profile)
-        profile_cm.__enter__()
-    try:
-        return _run_sweep(args, cfg, runner, pipelines)
-    finally:
-        if profile_cm is not None:
-            profile_cm.__exit__(None, None, None)
-            print(f"[profile] jax.profiler trace written to {args.profile}")
+        with trace(args.profile):
+            rc = _run_sweep(args, cfg, runner, pipelines)
+        print(f"[profile] jax.profiler trace written to {args.profile}")
+        return rc
+    return _run_sweep(args, cfg, runner, pipelines)
 
 
 def _run_sweep(args, cfg, runner, pipelines) -> int:

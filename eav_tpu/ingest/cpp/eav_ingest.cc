@@ -444,23 +444,32 @@ int eav_mp4_probe(const char* path, int* width, int* height) {
   (void)path; (void)width; (void)height;
   return fail("built without libav (rebuild with ffmpeg dev libraries)");
 #else
+  // IDENTICAL stream selection to eav_read_mp4_strided_into (header-params
+  // check, else find_stream_info; then av_find_best_stream) so the probe
+  // dims always describe the stream the decoder will pick.
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
     return fail(std::string("cannot open ") + path);
-  int w = 0, h = 0;
+  bool have_params = false;
   for (unsigned i = 0; i < fmt->nb_streams; ++i) {
     AVCodecParameters* p = fmt->streams[i]->codecpar;
-    if (p->codec_type == AVMEDIA_TYPE_VIDEO && p->width > 0 && p->height > 0) {
-      w = p->width; h = p->height;
+    if (p->codec_type == AVMEDIA_TYPE_VIDEO && p->codec_id != AV_CODEC_ID_NONE &&
+        p->width > 0 && p->height > 0) {
+      have_params = true;
       break;
     }
   }
-  if (w == 0 && avformat_find_stream_info(fmt, nullptr) >= 0) {
-    for (unsigned i = 0; i < fmt->nb_streams; ++i) {
-      AVCodecParameters* p = fmt->streams[i]->codecpar;
-      if (p->codec_type == AVMEDIA_TYPE_VIDEO) { w = p->width; h = p->height; break; }
-    }
+  if (!have_params && avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return fail("no stream info");
   }
+  int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vs < 0) {
+    avformat_close_input(&fmt);
+    return fail("no video stream");
+  }
+  int w = fmt->streams[vs]->codecpar->width;
+  int h = fmt->streams[vs]->codecpar->height;
   avformat_close_input(&fmt);
   if (w <= 0 || h <= 0) return fail("no video stream");
   *width = w; *height = h;

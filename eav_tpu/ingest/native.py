@@ -30,22 +30,31 @@ def _make(force: bool = False) -> bool:
         return False
 
 
+def _has_symbol(path: str, name: bytes) -> bool:
+    """Cheap pre-dlopen symbol probe: dynsym names are plain bytes in the
+    ELF. Rebuilding a library AFTER dlopen is unsafe (glibc caches by inode,
+    so a reload returns the stale mapping; relinking over a mapped file can
+    SIGBUS live calls) — so staleness must be detected before loading."""
+    try:
+        with open(path, "rb") as f:
+            return name in f.read()
+    except OSError:
+        return False
+
+
 def _load():
     global _lib, _tried_build
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _tried_build:
+    if not _tried_build and (
+        not os.path.exists(_SO) or not _has_symbol(_SO, b"eav_mp4_supported")
+    ):
+        # missing, or a stale pre-mp4-ABI build: (re)build BEFORE any dlopen
         _tried_build = True
-        _make()
+        _make(force=os.path.exists(_SO))
     if not os.path.exists(_SO):
         return None
     lib = ctypes.CDLL(_SO)
-    if not hasattr(lib, "eav_mp4_supported") and not _tried_build:
-        # stale .so from an older build (pre-mp4 ABI): rebuild once rather
-        # than crashing every native call with AttributeError
-        _tried_build = True
-        if _make(force=True):
-            lib = ctypes.CDLL(_SO)
     lib.eav_last_error.restype = ctypes.c_char_p
     lib.eav_read_wav.argtypes = [
         ctypes.c_char_p,
@@ -188,7 +197,8 @@ def read_mp4_strided(path: str, stride: int = 6, max_frames: int = 600) -> np.nd
     if lib.eav_mp4_probe(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
         raise IOError(_last_error(lib))
     cap = (max_frames + stride - 1) // stride
-    out = np.empty((cap, h.value, w.value, 3), np.uint8)
+    probe_h, probe_w = h.value, w.value
+    out = np.empty((cap, probe_h, probe_w, 3), np.uint8)
     n = ctypes.c_int()
     rc = lib.eav_read_mp4_strided_into(
         path.encode(), stride, max_frames,
@@ -197,6 +207,13 @@ def read_mp4_strided(path: str, stride: int = 6, max_frames: int = 600) -> np.nd
     )
     if rc != 0:
         raise IOError(_last_error(lib))
+    if (h.value, w.value) != (probe_h, probe_w):
+        # probe and decoder use identical stream selection, so this only
+        # fires on genuinely inconsistent headers — fail, never return
+        # frames reshaped with the wrong geometry
+        raise IOError(
+            f"decoded dims {h.value}x{w.value} != probed {probe_h}x{probe_w}"
+        )
     return out[: n.value]
 
 

@@ -27,11 +27,13 @@ softmax state stays f32.
 
 Measured on v5e (scripts/tpu_microbench.py ``flash4k [--long]``, fwd+bwd
 train step wall-clock, round 2): T=4096 bf16 1.44x XLA / f32 2.31x;
-T=8192 bf16 1.51x; T=16384 bf16 1.54x; T=32768 flash runs in 80 ms where
-the XLA path OOMs 16 GB HBM. At the production AST length (1214 -> 1280
-tokens) XLA's fused attention is still faster (0.71x), so the kernel stays
-opt-in (``attn_impl='flash'``) — it is the long-context seam, not the
-default. Sequence lengths are padded to the block size with masked keys.
+T=8192 bf16 1.51x; T=16384 bf16 1.54x; T=32768+ flash runs (80 ms at 32k,
+162 ms at 64k) where the XLA path OOMs 16 GB HBM. At the production AST
+length (1214 -> 1280 tokens) the kernel wins too once the block matches the
+padded length (640x640: 5.38 vs 5.62 ms/layer; +13% full-train-step), so
+the AST preset defaults to it on TPU via ``attn_impl='auto'``
+(models/transformer.py); ViT's 197 tokens stay on XLA attention. Sequence
+lengths are padded to the block size with masked keys.
 Tests run the kernels in interpreter mode on CPU against the einsum
 reference (values AND grads); on TPU they compile to Mosaic.
 """
