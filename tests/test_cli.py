@@ -149,3 +149,40 @@ def test_cli_run_with_overrides(tmp_path):
     assert rows_m and rows_m[0]["modality"] == "eeg"
     assert rows_m[0]["epochs"] == 2
     assert rows_m[0]["samples_per_sec"] > 0
+
+
+def test_cli_run_with_profile_trace(tmp_path):
+    """--profile wraps the sweep in a jax.profiler trace and leaves a
+    non-empty trace directory (SURVEY.md §5 tracing row)."""
+    import numpy as np
+
+    from eav_tpu.ingest import mat5
+
+    root = tmp_path / "EAV"
+    sdir = root / "subject01" / "EEG"
+    sdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    seg = rng.normal(size=(4000, 4, 20))
+    rows = np.asarray([1, 3, 5, 7, 9] * 4)
+    label = np.zeros((10, 20))
+    label[rows, np.arange(20)] = 1
+    mat5.savemat(str(sdir / "subject01_eeg.mat"), {"seg": seg})
+    mat5.savemat(str(sdir / "subject01_eeg_label.mat"), {"label": label})
+
+    out = tmp_path / "run"
+    logdir = tmp_path / "trace"
+    rc = main([
+        "run", "--data-root", str(root), "--subjects", "1", "--modalities", "eeg",
+        "--out", str(out), "--profile", str(logdir),
+        "--set", "eeg.eeg.channels=4",
+        "--set", "eeg.eeg.trial_seconds=8.0",
+        "--set", "eeg.eeg.chunk_seconds=2.0",
+        "--set", "eeg.split.h_idx=2",
+        "--set", "eeg.finetune.phases.0.epochs=1",
+        "--set", "eeg.finetune.model_kwargs.chans=4",
+        "--set", "eeg.finetune.model_kwargs.samples=200",
+        "--set", "eeg.finetune.model_kwargs.kern_length=16",
+    ])
+    assert rc == 0
+    traced = list(logdir.rglob("*"))
+    assert traced, "profiler trace directory is empty"
