@@ -51,18 +51,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _pick_block(t: int) -> int:
-    """Square block size: the largest candidate that minimizes the padded
-    length — big blocks amortize per-grid-step overhead (at 128x128 the
-    Mosaic grid dominated wall-clock), small ones avoid padding waste on
-    short sequences. 640 is there for the AST length (1214 -> 1280 = 2x640),
-    where it puts the kernel ahead of XLA."""
+def _pick_blocks(t: int):
+    """(block_q, block_k, t_pad): the largest K-block candidate that
+    minimizes the padded length — big blocks amortize per-grid-step overhead
+    (at 128x128 the Mosaic grid dominated wall-clock), small ones avoid
+    padding waste on short sequences. 640 is there for the AST length
+    (1214 -> 1280 = 2x640), where it puts the kernel ahead of XLA. The
+    Q-block (the *pinned* operand in the fwd/dq kernels, the streamed one in
+    dkv) is doubled when the padded length allows — fewer, bigger programs
+    measured faster at the production shape."""
     candidates = (640, 512, 256, 128)
     pads = {c: -(-t // c) * c for c in candidates}
     best = min(pads.values())
     for c in candidates:  # prefer the largest block among minimal pads
         if pads[c] == best:
-            return c
+            bq = 2 * c if best % (2 * c) == 0 else c
+            return bq, c, best
     raise AssertionError("unreachable: best is always one candidate's pad")
 
 
@@ -209,30 +213,29 @@ def _flash_forward(q, k, v, interpret: bool):
     """q, k, v: (B, T, H, D) -> ((B, T, H, D), lse (B*H, T_pad, 1))."""
     b, t, h, d = q.shape
     scale = float(1.0 / np.sqrt(d))
-    blk = _pick_block(t)
-    t_pad = -(-t // blk) * blk
+    bq, bk, t_pad = _pick_blocks(t)
     qb, kb, vb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v))
-    nq = nk = t_pad // blk
+    nq, nk = t_pad // bq, t_pad // bk
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, t_real=t, scale=scale, nk=nk, bk=blk),
+        functools.partial(_flash_kernel, t_real=t, scale=scale, nk=nk, bk=bk),
         grid=(b * h, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, blk, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, blk, 1), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda bh, qi, ki: (bh, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((blk, d), jnp.float32),
-            pltpu.VMEM((blk, 1), jnp.float32),
-            pltpu.VMEM((blk, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qb, kb, vb)
@@ -242,54 +245,53 @@ def _flash_forward(q, k, v, interpret: bool):
 def _flash_backward(q, k, v, o, lse, g, interpret: bool):
     b, t, h, d = q.shape
     scale = float(1.0 / np.sqrt(d))
-    blk = _pick_block(t)
-    t_pad = -(-t // blk) * blk
+    bq, bk, t_pad = _pick_blocks(t)
     qb, kb, vb, ob, gb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v, o, g))
     # di = rowsum(dO * O) — cheap elementwise reduce, stays in XLA
     di = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1, keepdims=True)
     bh = b * h
-    nq = nk = t_pad // blk
+    nq, nk = t_pad // bq, t_pad // bk
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, t_real=t, scale=scale, nq=nq, bk=blk),
+        functools.partial(_dkv_kernel, t_real=t, scale=scale, nq=nq, bk=bk),
         grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # q
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # k
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # v
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # do
-            pl.BlockSpec((1, blk, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # lse
-            pl.BlockSpec((1, blk, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # di
+            pl.BlockSpec((1, bq, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # q
+            pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # do
+            pl.BlockSpec((1, bq, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # di
         ],
         out_specs=(
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
-            pl.BlockSpec((1, blk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
             jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((blk, d), jnp.float32),
-            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
     )(qb, kb, vb, gb, lse, di)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, t_real=t, scale=scale, nk=nk, bk=blk),
+        functools.partial(_dq_kernel, t_real=t, scale=scale, nk=nk, bk=bk),
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # q
-            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # k
-            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # v
-            pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # do
-            pl.BlockSpec((1, blk, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # lse
-            pl.BlockSpec((1, blk, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # di
+            pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # q
+            pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # k
+            pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # do
+            pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # lse
+            pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # di
         ],
-        out_specs=pl.BlockSpec((1, blk, d), lambda bhi, qi, ki: (bhi, qi, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
     )(qb, kb, vb, gb, lse, di)
 
