@@ -243,7 +243,7 @@ def _ast_finetune() -> FinetuneConfig:
         # deviation from the all-f32 torch reference; flip with
         # --set audio.finetune.model_kwargs.compute_dtype=float32
         # attn_impl='auto' = Pallas flash attention on TPU (another +13%
-        # measured: 104.2 -> 92.1 ms/step, 86.8 samples/s; fwd relerr vs the
+        # measured: 104.2 -> 90.3 ms/step, 88 samples/s; fwd relerr vs the
         # einsum path ~3e-5 bf16), XLA attention elsewhere.
         model_kwargs={"compute_dtype": "bfloat16", "attn_impl": "auto"},
     )
