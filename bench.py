@@ -24,6 +24,7 @@ CPU, `Dataload_eeg.py:250-256` recipe) for cross-round comparability.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -269,48 +270,99 @@ def bench_ast_stacked(subjects: int = 4, steps: int = 20, batch: int = 8) -> flo
     return S * batch * steps / dt
 
 
+def ast_train_flops_per_sample(
+    t: int = 1214, hidden: int = 768, mlp: int = 3072, layers: int = 12,
+    patch: int = 16,
+) -> float:
+    """Analytic matmul FLOPs of ONE AST-base train step sample, fwd+bwd
+    counted as 3x forward (the standard MFU convention — backward does the
+    two matmul transposes per forward matmul). Counts: patch conv, fused
+    qkv, attention score/context gemms, attention out, MLP. Elementwise ops
+    (LN, gelu, softmax) excluded — they are HBM-bound, not MXU work."""
+    per_layer = (
+        2 * t * hidden * 3 * hidden   # qkv
+        + 2 * t * t * hidden          # scores  Q K^T (all heads)
+        + 2 * t * t * hidden          # context P V
+        + 2 * t * hidden * hidden     # attn out
+        + 2 * 2 * t * hidden * mlp    # fc1 + fc2
+    )
+    patches = t - 2  # cls + dist tokens carry no conv FLOPs
+    patch_conv = 2 * patches * hidden * patch * patch
+    return 3.0 * (layers * per_layer + patch_conv)
+
+
+def tpu_peak_flops() -> float | None:
+    """Peak bf16 FLOP/s of the attached chip (for MFU), by device kind."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v6 lite": 918e12, "v6e": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return None
+
+
 def bench_ast_tpu(steps: int = 20, batch: int = 8, dtype: str = "bf16") -> float:
     """Serial AST-base fine-tune step throughput (bs=8, unfrozen phase —
-    the hot loop of `Transformer_Audio.py:67-82`). bf16 MXU compute (the
-    ast_finetune preset default); params/opt donated so the AdamW state is
-    updated in place instead of copied (87M params x3 trees)."""
+    the hot loop of `Transformer_Audio.py:67-82`).
+
+    The benched step is the PRODUCTION JitTrainer step — the literal
+    ``_phase_pieces`` train_step the sweep executes (train=True forward with
+    dropout-rng threading, AdamW + weight decay, same preset model: bf16 MXU
+    compute + flash attention) — so this metric can never drift from what
+    `eav_tpu.cli run` actually runs. Params/opt donated (87M params x3
+    trees update in place)."""
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from eav_tpu.core.optim import adam_update, init_adam_state, trainable_mask
-    from eav_tpu.models.ast import AST
-    from eav_tpu.train.loop import cross_entropy
+    from eav_tpu.core.config import get_preset
+    from eav_tpu.core.optim import init_adam_state, trainable_mask
+    from eav_tpu.train.loop import JitTrainer
+    from eav_tpu.train.pipeline import build_model
+
+    preset = get_preset("ast_finetune")
+    if dtype != "bf16":  # experimental knob: all-f32 torch-parity numerics
+        kw = dict(preset.finetune.model_kwargs)
+        kw["compute_dtype"] = None
+        preset = preset.replace(
+            finetune=dataclasses.replace(preset.finetune, model_kwargs=kw)
+        )
+    model, mkw = build_model(preset)
+    trainer = JitTrainer(model, preset.finetune, **mkw)
 
     rng = np.random.default_rng(0)
-    # the ast_finetune preset path: bf16 MXU compute + Pallas flash attention
-    model = AST(
-        compute_dtype=jnp.bfloat16 if dtype == "bf16" else None, attn_impl="auto"
-    )
-    x = jnp.asarray(rng.normal(size=(batch, 1024, 128)).astype(np.float32))
-    y = jnp.asarray(rng.integers(0, 5, size=(batch,)).astype(np.int32))
+    n_train, n_test = 280, 120  # the real per-subject split (README.md:82)
+    x = jnp.asarray(rng.normal(size=(n_train, 1024, 128)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 5, size=(n_train,)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
     params = variables["params"]
+    bstats = variables.get("batch_stats", {})
     opt = init_adam_state(params)
-    mask = trainable_mask(params, freeze=False)
+    mask = trainable_mask(params, freeze=False)  # unfrozen phase
+    train_step, _eval, _perm, (bs, _sf, _rem) = trainer._phase_pieces(
+        mask, n_train, n_test
+    )
+    assert bs == batch, f"preset batch size {bs} != benched batch {batch}"
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt, x, y):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, x, train=False)
-            return cross_entropy(logits, y, jnp.ones_like(y, jnp.float32))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt = adam_update(grads, opt, params, lr=5e-6, trainable_mask=mask, weight_decay=0.01)
-        return loss, params, opt
-
-    loss, params, opt = step(params, opt, x, y)
+    step = jax.jit(
+        lambda carry, idx, lr: train_step(carry, idx, x, y, lr),
+        donate_argnums=(0,),
+    )
+    lr = jnp.float32(5e-6)
+    idx = jnp.arange(batch)
+    carry = (params, bstats, opt, jax.random.PRNGKey(1))
+    carry, (loss, _) = step(carry, idx, lr)
     np.asarray(loss)  # fence (block_until_ready is unreliable on this platform)
     t0 = time.perf_counter()
     for _ in range(steps):
-        loss, params, opt = step(params, opt, x, y)
+        carry, (loss, _) = step(carry, idx, lr)
     np.asarray(loss)
     dt = time.perf_counter() - t0
     return batch * steps / dt
@@ -394,18 +446,25 @@ def main():
     # sweep scheduler
     ast_sps = with_retry(bench_ast_tpu)
     torch_sps = TORCH_AST_CPU_SPS
+    baseline = "torch-cpu-constant-2026-08-16"  # provenance (machine-visible)
     if os.environ.get("EAV_BENCH_MEASURE_TORCH"):
         torch_sps = bench_torch_ast_cpu()
-    print(
-        json.dumps(
-            {
-                "metric": "ast_finetune_samples_per_sec",
-                "value": round(ast_sps, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(ast_sps / torch_sps, 2),
-            }
-        )
-    )
+        baseline = "torch-cpu-measured-live"
+    # achieved TFLOP/s + % of peak from the analytic matmul FLOP count — an
+    # absolute efficiency signal alongside the soft-target torch ratio
+    achieved = ast_sps * ast_train_flops_per_sample()
+    peak = tpu_peak_flops()
+    out = {
+        "metric": "ast_finetune_samples_per_sec",
+        "value": round(ast_sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(ast_sps / torch_sps, 2),
+        "baseline": baseline,
+        "tflops": round(achieved / 1e12, 1),
+    }
+    if peak:
+        out["mfu_pct"] = round(100.0 * achieved / peak, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

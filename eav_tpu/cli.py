@@ -48,6 +48,23 @@ def cmd_run(args) -> int:
         presets = apply_overrides(presets, load_override_file(args.config))
     if args.set:
         presets = apply_overrides(presets, args.set)
+    mesh = None
+    if args.data_parallel > 1:
+        # Batch-DP over a pure data mesh: the TPU-native replacement for the
+        # reference's automatic nn.DataParallel engagement
+        # (`Transformer_Vision.py:82-83`) — the per-frame vision fine-tunes
+        # shard their batch across the axis, XLA inserts the gradient psum.
+        import jax
+
+        from eav_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        n = args.data_parallel
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"--data-parallel {n} requested but only "
+                f"{len(jax.devices())} devices are visible"
+            )
+        mesh = make_mesh(((DATA_AXIS, n),), devices=jax.devices()[:n])
     pipelines = ModalityPipelines(
         data_root=args.data_root,
         cache_dir=args.cache_dir or os.path.join(out, "cache"),
@@ -55,6 +72,7 @@ def cmd_run(args) -> int:
         presets=presets,
         seed=args.seed,
         epochs_per_call=args.epochs_per_call,
+        mesh=mesh,
     )
     cfg = SweepConfig(
         subjects=tuple(_parse_subjects(args.subjects)),
@@ -77,20 +95,29 @@ def cmd_run(args) -> int:
     return _run_sweep(args, cfg, runner, pipelines)
 
 
+# Per-family subject-stack caps for --subject-parallel, from 16 GB v5e
+# measurements (bench.py / docs/ROUND2.md / scripts/measure_vision_flagship.py):
+# - EEGNet-scale models stack ~linearly to 8 (beyond that the worker OOMs);
+# - AST-base at bs 8 x 1214 tokens saturates the chip ALONE (S=1 68.2 vs S=4
+#   aggregate 62.6 samples/s measured) — stacking strictly hurts, so AST
+#   subjects run serially per chip and spread ACROSS chips;
+# - ViT-base per-frame fine-tunes are memory-bound (7k frame split + 87M x3
+#   optimizer trees per stacked subject): cap measured on hardware.
+_STACK_CAPS = {"eeg": 8, "eeg_conformer": 8, "audio": 1, "audio_scnn": 8,
+               "vision": 2, "vision_resnet": 2}
+
+
 def _run_sweep(args, cfg, runner, pipelines) -> int:
     if args.subject_parallel > 1:
-        for mod in ("eeg", "eeg_conformer", "audio", "audio_scnn",
-                    "vision", "vision_resnet"):
+        for mod, cap in _STACK_CAPS.items():
             if mod in cfg.modalities:
-                # per-frame vision stacks are memory-heavy: halve the group
-                group = args.subject_parallel
-                if mod.startswith("vision"):
-                    group = max(1, group // 2)
-                runner.run_batched(
-                    mod,
-                    lambda subs, m=mod: pipelines.run_stacked(subs, m),
-                    group_size=group,
-                )
+                group = min(args.subject_parallel, cap)
+                if group > 1:
+                    runner.run_batched(
+                        mod,
+                        lambda subs, m=mod: pipelines.run_stacked(subs, m),
+                        group_size=group,
+                    )
     runner.run(verbose=True)
     print(json.dumps(runner.aggregate(), indent=2))
     return 0
@@ -140,6 +167,11 @@ def main(argv=None) -> int:
     run.add_argument(
         "--subject-parallel", type=int, default=1,
         help="run N subjects' EEG fine-tunes as one sharded program",
+    )
+    run.add_argument(
+        "--data-parallel", type=int, default=1,
+        help="shard each fine-tune's batch across N devices (vision path; "
+        "the reference's nn.DataParallel equivalent)",
     )
     run.add_argument(
         "--epochs-per-call", type=int, default=None,

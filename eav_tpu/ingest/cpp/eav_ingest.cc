@@ -541,6 +541,10 @@ int eav_read_mp4_strided_into(const char* path, int stride, int max_frames,
     return fail("caller buffer too small for decoded frames");
   }
   SwsContext* sws = nullptr;
+  // sws context is cached per source geometry/format and recreated if the
+  // stream changes mid-file (rare, but silently stretching frames through a
+  // stale context would corrupt data).
+  int sws_w = -1, sws_h = -1, sws_fmt = -1;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int idx = 0, kept = 0;
@@ -550,11 +554,14 @@ int eav_read_mp4_strided_into(const char* path, int stride, int max_frames,
   auto handle_frame = [&](AVFrame* f) {
     if (idx >= max_frames) { done = true; return; }
     if (idx % stride == 0 && kept < cap) {
-      if (!sws) {
+      if (!sws || f->width != sws_w || f->height != sws_h ||
+          f->format != sws_fmt) {
+        if (sws) sws_freeContext(sws);
         sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
                              w, h, AV_PIX_FMT_RGB24, SWS_FAST_BILINEAR, nullptr,
                              nullptr, nullptr);
         if (!sws) { error = true; err_msg = "sws_getContext failed"; done = true; return; }
+        sws_w = f->width; sws_h = f->height; sws_fmt = f->format;
       }
       uint8_t* dst[1] = {buf + (size_t)kept * h * w * 3};
       int lines[1] = {w * 3};
@@ -565,9 +572,20 @@ int eav_read_mp4_strided_into(const char* path, int stride, int max_frames,
   };
 
   while (!done && av_read_frame(fmt, pkt) >= 0) {
-    if (pkt->stream_index == vs && avcodec_send_packet(ctx, pkt) == 0) {
-      while (!done && avcodec_receive_frame(ctx, frame) == 0)
-        handle_frame(frame);
+    if (pkt->stream_index == vs) {
+      int rc = avcodec_send_packet(ctx, pkt);
+      if (rc == 0) {
+        while (!done && avcodec_receive_frame(ctx, frame) == 0)
+          handle_frame(frame);
+      } else if (rc != AVERROR(EAGAIN)) {
+        // A dropped packet would silently SHIFT every later strided frame
+        // index relative to the cv2 reference loop — corrupt input is an
+        // error, not a skip. (EAGAIN cannot occur here: the receive loop
+        // above always drains the decoder before the next send.)
+        error = true;
+        err_msg = "avcodec_send_packet failed (corrupt packet?)";
+        done = true;
+      }
     }
     av_packet_unref(pkt);
   }

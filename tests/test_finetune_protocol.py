@@ -50,7 +50,7 @@ def test_frozen_phase_only_trains_head(tiny_data):
     # classifier (Dense + its LayerNorm) moved; everything else untouched
     assert not np.allclose(before["classifier/kernel"], after["classifier/kernel"])
     assert not np.allclose(before["classifier_ln/scale"], after["classifier_ln/scale"])
-    for name in ("patch_proj/kernel", "encoder/layer_0/attn/query/kernel", "final_ln/scale", "cls_token"):
+    for name in ("patch_proj/kernel", "encoder/layer_0/attn/qkv/kernel", "final_ln/scale", "cls_token"):
         np.testing.assert_array_equal(before[name], after[name])
 
 

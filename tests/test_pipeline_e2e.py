@@ -223,6 +223,11 @@ def test_subject_parallel_vision_pipeline(tmp_path, rng):
     assert stacked[1].metrics["accuracy"] == pytest.approx(
         serial.metrics["accuracy"], abs=1e-6
     )
+    # schema alignment (VERDICT r2 weak #5): a mixed serial+stacked journal
+    # must carry the same metric keys either path — the stacked rows add only
+    # group_size (their one extra, meaningful field)
+    assert set(serial.metrics) | {"group_size"} == set(stacked[1].metrics)
+    assert stacked[1].metrics["confusion"] == serial.metrics["confusion"]
 
 
 @pytest.mark.slow

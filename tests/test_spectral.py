@@ -112,3 +112,60 @@ def test_scnn180_shape_and_blocks(speechy):
     np.testing.assert_allclose(batch[0], feat, rtol=1e-6, atol=1e-6)
     # mel block is raw power means (positive), mfcc block is dB-scale
     assert (feat[52:] >= 0).all()
+
+
+def test_chroma_tuning_deviation_quantified_bound():
+    """Quantified bound on the documented tuning=0 deviation (C14, VERDICT r2
+    weak #6): librosa estimates per-clip tuning t in [-0.5, 0.5) bins; we fix
+    t=0. The ONLY effect is a440 -> 440*2^(t/12) in the chroma filter bank
+    (`ops/spectral.chroma_filter_bank`), so the deviation of the 12 chroma
+    dims of the 180-d feature (each in [0, 1] after the per-frame inf-norm;
+    the other 168 dims are tuning-independent, hence exact) is bounded by the
+    worst case over that t range — measured here and pinned as a regression:
+
+      - quarter-tone-detuned harmonic tones (|t|=0.5, full pitch-class
+        reassignment — the analytic worst case): <= 0.80 per dim;
+      - broadband/noise-like content (|t|=0.5): <= 0.09 per dim;
+      - |t| <= 0.1 (well-tuned content): <= 0.14 per dim on speech-like
+        harmonic+jitter signals.
+    """
+    import jax.numpy as jnp
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    t = np.arange(int(0.5 * sr)) / sr
+    f0s = [82.4, 110, 146.8, 220, 261.63, 329.6, 440]
+
+    def chroma_mean(power, fb):
+        raw = power @ fb.T
+        mx = np.maximum(np.abs(raw).max(-1, keepdims=True), 1e-10)
+        return (raw / mx).mean(-2)
+
+    def worst(signals, tunings):
+        fb0 = spectral.chroma_filter_bank(sr, 2048, 12, 0.0)
+        w = 0.0
+        for tun in tunings:
+            fbt = spectral.chroma_filter_bank(sr, 2048, 12, tun)
+            for s in signals:
+                p = np.asarray(spectral.stft_mag_sq(jnp.asarray(s, jnp.float32), 2048, 512))
+                w = max(w, float(np.abs(chroma_mean(p, fb0) - chroma_mean(p, fbt)).max()))
+        return w
+
+    harmonic = [
+        sum(np.sin(2 * np.pi * f * k * t) / k for k in range(1, 8)) for f in f0s
+    ]
+    speechlike = []
+    for f in f0s:
+        f0 = f * (1 + 0.02 * np.sin(2 * np.pi * 3 * t))
+        phase = 2 * np.pi * np.cumsum(f0) / sr
+        speechlike.append(
+            sum(np.sin(k * phase) / k for k in range(1, 8))
+            + 0.1 * rng.normal(size=t.shape)
+        )
+    noise = [rng.normal(size=t.shape) for _ in range(3)]
+
+    assert worst(harmonic, (-0.5, 0.5)) <= 0.80   # measured 0.776
+    assert worst(noise, (-0.5, 0.5)) <= 0.09      # measured 0.075
+    assert worst(speechlike, (-0.1, 0.1)) <= 0.14  # measured 0.124
+    # and the tuning-independent 168 dims really are independent of tuning:
+    # mel/MFCC take no tuning parameter at all (ops/spectral.py)
