@@ -214,7 +214,13 @@ def bench_torch_ast_cpu(steps: int = 1, batch: int = 8) -> float:
     return batch * steps / (time.perf_counter() - t0)
 
 
-def bench_ast_stacked(subjects: int = 4, steps: int = 20, batch: int = 8) -> float:
+def bench_ast_stacked(
+    subjects: int = 4,
+    steps: int = 20,
+    batch: int = 8,
+    attn_impl: str = "xla",
+    remat: str = "none",
+) -> float:
     """Flagship metric: subject-parallel AST-base fine-tune steps.
 
     ``subjects`` independent per-subject AdamW fine-tunes (each at the
@@ -233,10 +239,11 @@ def bench_ast_stacked(subjects: int = 4, steps: int = 20, batch: int = 8) -> flo
 
     rng = np.random.default_rng(0)
     S = subjects
-    # XLA attention here: the flash kernels' saved o/lse residuals push the
-    # 4-subject stack past 16 GB HBM (measured RESOURCE_EXHAUSTED), and
-    # stacking is not the AST production path anyway (see --stacked note).
-    model = AST(compute_dtype=jnp.bfloat16)
+    # Default XLA attention: the flash kernels' saved q/k/v/o residuals push
+    # a no-remat 4-subject stack past 16 GB HBM (measured RESOURCE_EXHAUSTED).
+    # attn_impl='flash', remat='attn' drops those residuals (one extra
+    # attention forward in bwd) so the stack fits with the flash kernels.
+    model = AST(compute_dtype=jnp.bfloat16, attn_impl=attn_impl, remat=remat)
     x = jnp.asarray(rng.normal(size=(S, batch, 1024, 128)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, 5, size=(S, batch)).astype(np.int32))
 
@@ -429,11 +436,18 @@ def main():
         # groups) rather than vmap-stacking them; stacking is the lever for
         # the small models (EEGNet: --eegnet runs 8 stacked).
         S = int(os.environ.get("EAV_BENCH_STACK", "4"))
-        ast_sps = with_retry(lambda: bench_ast_stacked(subjects=S))
+        attn = os.environ.get("EAV_BENCH_STACK_ATTN", "flash")
+        remat = os.environ.get(
+            "EAV_BENCH_STACK_REMAT", "attn" if attn == "flash" else "none"
+        )
+        ast_sps = with_retry(
+            lambda: bench_ast_stacked(subjects=S, attn_impl=attn, remat=remat)
+        )
         print(
             json.dumps(
                 {
-                    "metric": f"ast_finetune_samples_per_sec_stacked{S}",
+                    "metric": f"ast_finetune_samples_per_sec_stacked{S}_{attn}"
+                    + (f"_remat-{remat}" if remat != "none" else ""),
                     "value": round(ast_sps, 2),
                     "unit": "samples/s",
                     "vs_baseline": round(ast_sps / TORCH_AST_CPU_SPS, 2),

@@ -245,7 +245,15 @@ def _ast_finetune() -> FinetuneConfig:
         # attn_impl='auto' = Pallas flash attention on TPU (another +13%
         # measured: 104.2 -> 90.3 ms/step, 88 samples/s; fwd relerr vs the
         # einsum path ~3e-5 bf16), XLA attention elsewhere.
-        model_kwargs={"compute_dtype": "bfloat16", "attn_impl": "auto"},
+        # stream_dtype=bf16 keeps the residual stream in bf16 through the
+        # encoder (head stays f32): −2% step measured (87.9 vs 89.7 ms,
+        # scripts/patch_embed_variants.py); logits stay within bf16
+        # roundoff of the f32 stream (tests/test_models_misc.py).
+        model_kwargs={
+            "compute_dtype": "bfloat16",
+            "attn_impl": "auto",
+            "stream_dtype": "bfloat16",
+        },
     )
 
 

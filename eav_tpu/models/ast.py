@@ -24,7 +24,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from eav_tpu.models.transformer import TransformerEncoder
+from eav_tpu.models.transformer import PatchProj, TransformerEncoder
 
 
 class AST(nn.Module):
@@ -42,6 +42,13 @@ class AST(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "xla"
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
+    remat: str = "none"  # 'attn' drops attention residuals (stacked fits)
+    # dtype of the residual stream through the encoder (None = f32). bf16
+    # halves the HBM traffic of every layer's residual read/write — measured
+    # -0.95 ms/layer fwd+bwd at bs8 (scripts/ast_component_times.py); the
+    # head (final_ln onward) always computes in f32. Parity tests pin the
+    # f32 default; the TPU preset opts in via model_kwargs.
+    stream_dtype: object = None
 
     @property
     def num_patches(self) -> int:
@@ -55,11 +62,10 @@ class AST(nn.Module):
         # (B, frames, mels) -> (B, mels[freq-H], frames[time-W], 1): matches
         # HF's unsqueeze(1).transpose(2,3) NCHW conv in NHWC form.
         x = jnp.transpose(x, (0, 2, 1))[..., None]
-        x = nn.Conv(
+        x = PatchProj(
             self.hidden,
-            (self.patch_size, self.patch_size),
-            strides=(self.frequency_stride, self.time_stride),
-            padding="VALID",
+            self.patch_size,
+            (self.frequency_stride, self.time_stride),
             name="patch_proj",
         )(x)
         # (B, 12, 101, H) -> (B, 1212, H); freq-major ordering == HF flatten(2)
@@ -77,11 +83,14 @@ class AST(nn.Module):
         )
         x = x + pos
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        if self.stream_dtype is not None:
+            x = x.astype(self.stream_dtype)
         x = TransformerEncoder(
             self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
-            self.dropout, self.attn_impl, self.compute_dtype, name="encoder",
+            self.dropout, self.attn_impl, self.compute_dtype, self.remat,
+            name="encoder",
         )(x, deterministic=not train)
-        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x.astype(jnp.float32))
         pooled = (x[:, 0] + x[:, 1]) / 2.0
         h = nn.LayerNorm(epsilon=self.eps, name="classifier_ln")(pooled)
         return nn.Dense(self.num_labels, name="classifier")(h)

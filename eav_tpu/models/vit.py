@@ -27,6 +27,7 @@ class ViT(nn.Module):
     dropout: float = 0.0
     attn_impl: str = "xla"
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
+    remat: str = "none"  # 'attn'/'full': rematerialize encoder sublayers
     # Fold the ViTImageProcessor recipe (bilinear resize to image_size,
     # rescale 1/255, normalize mean/std 0.5) into the model so the data
     # pipeline can ship raw uint8 frames to the device (4x less transfer
@@ -71,7 +72,8 @@ class ViT(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         x = TransformerEncoder(
             self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
-            self.dropout, self.attn_impl, self.compute_dtype, name="encoder",
+            self.dropout, self.attn_impl, self.compute_dtype, self.remat,
+            name="encoder",
         )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
         return nn.Dense(self.num_labels, name="classifier")(x[:, 0])

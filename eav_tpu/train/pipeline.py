@@ -71,10 +71,11 @@ def _model_kwargs(preset: PresetConfig) -> dict:
     """Normalize model_kwargs from config space: dtype names ('bfloat16')
     become jnp dtypes so presets stay JSON-serializable/hashable."""
     kw = dict(preset.finetune.model_kwargs or {})
-    if isinstance(kw.get("compute_dtype"), str):
-        import jax.numpy as jnp
+    for key in ("compute_dtype", "stream_dtype"):
+        if isinstance(kw.get(key), str):
+            import jax.numpy as jnp
 
-        kw["compute_dtype"] = jnp.dtype(kw["compute_dtype"]).type
+            kw[key] = jnp.dtype(kw[key]).type
     return kw
 
 

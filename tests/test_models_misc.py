@@ -108,3 +108,50 @@ def test_fusion_weighted_beats_single_modality(rng):
     )
     solo_acc = (good[200:].argmax(-1) == y[200:]).mean()
     assert res.history["test_acc"][-1] >= solo_acc - 0.03
+
+
+def test_encoder_remat_modes_match_values_and_grads(rng):
+    """remat='attn'/'full' must be numerically identical to 'none' (same
+    values, same grads, same param tree — nn.remat keeps submodule scopes so
+    checkpoints import regardless of mode). The modes exist so big stacked /
+    long-context programs can trade one extra attention forward for the
+    q/k/v/o residuals (models/transformer.py TransformerLayer)."""
+    from eav_tpu.models.ast import ast_tiny
+
+    x = jnp.asarray(rng.normal(size=(2, 128, 128)).astype(np.float32))
+    base = ast_tiny()
+    params = base.init(jax.random.PRNGKey(0), x, train=False)["params"]
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x, train=False) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss(base, p))(params)
+    for mode in ("attn", "full"):
+        m = base.clone(remat=mode)
+        l, g = jax.value_and_grad(lambda p: loss(m, p))(params)
+        assert float(l) == float(ref_l)
+        # recomputation changes XLA's fusion choices, so grads agree to f32
+        # roundoff, not bitwise
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4),
+            ref_g, g,
+        )
+
+
+def test_ast_bf16_stream_close_to_f32(rng):
+    """stream_dtype=bf16 (the TPU preset's HBM-traffic saving) must stay a
+    rounding-level perturbation of the f32-stream forward, and the default
+    (stream_dtype=None) must remain bitwise the pre-knob f32 path — the HF
+    logit-parity tests pin that default."""
+    from eav_tpu.models.ast import ast_tiny
+
+    x = jnp.asarray(rng.normal(size=(2, 128, 128)).astype(np.float32))
+    base = ast_tiny()
+    params = base.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    ref = base.apply({"params": params}, x, train=False)
+    bf = base.clone(stream_dtype=jnp.bfloat16).apply(
+        {"params": params}, x, train=False
+    )
+    assert ref.dtype == bf.dtype  # head always recovers the f32 path's dtype
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref), rtol=0.1, atol=0.15)
+    assert not np.array_equal(np.asarray(bf), np.asarray(ref))
