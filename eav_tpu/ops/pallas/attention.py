@@ -209,28 +209,29 @@ def _from_bh(x, b, h, t, d):
     return jnp.transpose(x, (0, 2, 1, 3))
 
 
-def _flash_forward(q, k, v, interpret: bool):
-    """q, k, v: (B, T, H, D) -> ((B, T, H, D), lse (B*H, T_pad, 1))."""
-    b, t, h, d = q.shape
+def _flash_forward_bh(qb, kb, vb, t: int, interpret: bool):
+    """Core forward on already-(B*H, T_pad, D) operands; returns (o, lse)
+    in the same layout. ``t`` = real (unpadded) sequence length."""
+    bh, t_pad, d = qb.shape
     scale = float(1.0 / np.sqrt(d))
-    bq, bk, t_pad = _pick_blocks(t)
-    qb, kb, vb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v))
+    bq, bk, t_pad2 = _pick_blocks(t)
+    assert t_pad2 == t_pad, (t_pad2, t_pad)
     nq, nk = t_pad // bq, t_pad // bk
-    out, lse = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_flash_kernel, t_real=t, scale=scale, nk=nk, bk=bk),
-        grid=(b * h, nq, nk),
+        grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, bq, 1), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
+            pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, d), qb.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -239,17 +240,26 @@ def _flash_forward(q, k, v, interpret: bool):
         ],
         interpret=interpret,
     )(qb, kb, vb)
+
+
+def _flash_forward(q, k, v, interpret: bool):
+    """q, k, v: (B, T, H, D) -> ((B, T, H, D), lse (B*H, T_pad, 1))."""
+    b, t, h, d = q.shape
+    _, _, t_pad = _pick_blocks(t)
+    qb, kb, vb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v))
+    out, lse = _flash_forward_bh(qb, kb, vb, t, interpret)
     return _from_bh(out, b, h, t, d), lse
 
 
-def _flash_backward(q, k, v, o, lse, g, interpret: bool):
-    b, t, h, d = q.shape
+def _flash_backward_bh(qb, kb, vb, ob, lse, gb, t: int, interpret: bool):
+    """Core backward on (B*H, T_pad, D) operands; returns (dq, dk, dv) in
+    the same layout."""
+    bh, t_pad, d = qb.shape
     scale = float(1.0 / np.sqrt(d))
-    bq, bk, t_pad = _pick_blocks(t)
-    qb, kb, vb, ob, gb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v, o, g))
+    bq, bk, t_pad2 = _pick_blocks(t)
+    assert t_pad2 == t_pad, (t_pad2, t_pad)
     # di = rowsum(dO * O) — cheap elementwise reduce, stays in XLA
     di = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1, keepdims=True)
-    bh = b * h
     nq, nk = t_pad // bq, t_pad // bk
 
     dk, dv = pl.pallas_call(
@@ -268,8 +278,8 @@ def _flash_backward(q, k, v, o, lse, g, interpret: bool):
             pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, t_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, t_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), kb.dtype),
+            jax.ShapeDtypeStruct((bh, t_pad, d), vb.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -290,11 +300,19 @@ def _flash_backward(q, k, v, o, lse, g, interpret: bool):
             pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # di
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), qb.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
     )(qb, kb, vb, gb, lse, di)
 
+    return dq, dk, dv
+
+
+def _flash_backward(q, k, v, o, lse, g, interpret: bool):
+    b, t, h, d = q.shape
+    _, _, t_pad = _pick_blocks(t)
+    qb, kb, vb, ob, gb = (_to_bh(x, b, h, d, t_pad) for x in (q, k, v, o, g))
+    dq, dk, dv = _flash_backward_bh(qb, kb, vb, ob, lse, gb, t, interpret)
     return (
         _from_bh(dq, b, h, t, d),
         _from_bh(dk, b, h, t, d),
@@ -331,3 +349,35 @@ def _bwd(_interpret_static, res, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_bh(q, k, v, t_real: int, interpret: bool | None = None):
+    """Flash attention on HEAD-MAJOR operands: q/k/v (B*H, T_pad, D) with
+    ``t_real`` the unpadded length (keys beyond it are masked); returns o in
+    the same layout. For callers that already hold head-major data (e.g.
+    TP-sharded attention where heads live on the mesh axis) this skips the
+    (B, T, H, D) API's pad+transpose adapters. Measured v5e note: at the AST
+    shape the adapters are NOT a bottleneck — an end-to-end head-major
+    attention sublayer timed 4.81 vs 4.80 ms fwd+bwd
+    (scripts/flash_layout_experiment.py); XLA already folds the transposes
+    into neighbouring ops. The variant is kept for layout flexibility, not
+    speed."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _flash_forward_bh(q, k, v, t_real, interpret)[0]
+
+
+def _fwd_bh(q, k, v, t_real, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    o, lse = _flash_forward_bh(q, k, v, t_real, interpret)
+    return o, (q, k, v, o, lse, interpret)
+
+
+def _bwd_bh(t_real, _interpret_static, res, g):
+    q, k, v, o, lse, interpret = res
+    return _flash_backward_bh(q, k, v, o, lse, g, t_real, interpret)
+
+
+flash_attention_bh.defvjp(_fwd_bh, _bwd_bh)

@@ -379,11 +379,15 @@ class ModalityPipelines:
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
         model, kw = build_model(preset)
         if getattr(model, "attn_impl", None) == "auto":
-            # vmap-stacked fine-tunes: the flash kernels' saved o/lse
-            # residuals push a 4-subject AST stack past 16 GB HBM (measured
-            # RESOURCE_EXHAUSTED, bench.py --stacked note), so resolve
-            # 'auto' to XLA attention for stacked programs; serial runs
-            # (where flash measurably wins) keep the preset default.
+            # vmap-stacked fine-tunes: the flash kernels' saved q/k/v/o
+            # residuals push a no-remat 4-subject AST stack past 16 GB HBM
+            # (measured RESOURCE_EXHAUSTED). flash + remat='attn' fits and
+            # measures 61.7 samples/s vs 62.3 for XLA attention (round 3,
+            # bench.py --stacked with EAV_BENCH_STACK_ATTN) — a wash, so
+            # stacked programs resolve 'auto' to the residual-light XLA
+            # path; serial runs (where flash wins +13%) keep the preset
+            # default. Either way stacking AST loses to serial (93.9), so
+            # the sweep policy keeps AST serial (cli.py stacking policy).
             model = model.clone(attn_impl="xla")
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         if init_params is not None:

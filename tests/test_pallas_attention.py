@@ -110,3 +110,40 @@ def test_flash_under_vmap_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lr), rtol=2e-5)
     for a, b2 in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=5e-4, atol=5e-5)
+
+
+def test_flash_bh_layout_matches_reference(rng):
+    """flash_attention_bh (head-major (B*H, T_pad, D) operands, the
+    zero-transpose path) == the einsum reference, values and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from eav_tpu.ops.pallas.attention import (
+        _pick_blocks,
+        _reference_attention,
+        flash_attention_bh,
+    )
+
+    b, t, h, d = 2, 200, 3, 32
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    _, _, t_pad = _pick_blocks(t)
+
+    def bh(x):
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t_pad, d)
+
+    def via_bh(q, k, v):
+        o = flash_attention_bh(bh(q), bh(k), bh(v), t, True)
+        return jnp.transpose(o.reshape(b, h, t_pad, d)[:, :, :t], (0, 2, 1, 3))
+
+    out = via_bh(q, k, v)
+    ref = _reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda *a: jnp.sum(via_bh(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(_reference_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
