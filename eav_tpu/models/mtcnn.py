@@ -142,12 +142,33 @@ def _apply_regression(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
 def crop_resize(image: np.ndarray, box: np.ndarray, size: int) -> np.ndarray:
     """uint8 (H, W, 3) -> (size, size, 3) via clipped crop + bilinear resize."""
     h, w = image.shape[:2]
-    x1, y1, x2, y2 = [int(round(v)) for v in box]
-    x1, y1 = max(0, x1), max(0, y1)
-    x2, y2 = min(w, max(x2, x1 + 1)), min(h, max(y2, y1 + 1))
+    x1, y1, x2, y2 = _clamp_box(box, h, w)
     crop = image[y1:y2, x1:x2].astype(np.float32)
     out = jax.image.resize(jnp.asarray(crop), (size, size, 3), "bilinear", antialias=True)
     return np.asarray(out)
+
+
+def _clamp_box(box, h: int, w: int) -> Tuple[int, int, int, int]:
+    x1, y1, x2, y2 = [int(round(float(v))) for v in box]
+    x1, y1 = max(0, x1), max(0, y1)
+    return x1, y1, min(w, max(x2, x1 + 1)), min(h, max(y2, y1 + 1))
+
+
+def resize_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) linear map identical to
+    ``jax.image.resize(x, (out_size, ...), 'bilinear', antialias=True)``
+    along one axis: triangle kernel widened by 1/scale when downscaling,
+    weights renormalized over the in-range taps (resize is linear, so the
+    map is exact — tested against jax.image.resize in tests/test_mtcnn_oracle).
+    Lets a batch of variable-size crops become ONE device einsum instead of a
+    device round trip per crop."""
+    scale = out_size / in_size
+    kernel_scale = max(1.0, 1.0 / scale)
+    sample_f = (np.arange(out_size) + 0.5) / scale - 0.5
+    x = np.abs(sample_f[:, None] - np.arange(in_size)[None, :]) / kernel_scale
+    w = np.maximum(0.0, 1.0 - x)
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w.astype(np.float32)
 
 
 class MTCNNDetector:
@@ -172,6 +193,41 @@ class MTCNNDetector:
         self._pnet_apply = jax.jit(lambda p, x: self.pnet.apply({"params": p}, x))
         self._rnet_apply = jax.jit(lambda p, x: self.rnet.apply({"params": p}, x))
         self._onet_apply = jax.jit(lambda p, x: self.onet.apply({"params": p}, x))
+
+        # ---- batched-path device programs (one call per pyramid scale /
+        # cascade stage for a WHOLE frame batch; the per-frame path above
+        # costs ~60-80 device round trips per frame, which on a tunneled
+        # device is ~2 s/frame) ----
+        def _pnet_scaled(p, frames_u8, hs: int, ws: int):
+            n = frames_u8.shape[0]
+            imgs = jax.image.resize(
+                frames_u8.astype(jnp.float32), (n, hs, ws, 3), "bilinear"
+            )
+            return self.pnet.apply({"params": p}, (imgs - 127.5) / 128.0)
+
+        self._pnet_scaled = jax.jit(_pnet_scaled, static_argnums=(2, 3))
+
+        def _gather_crops(frames_u8, idx, wy, wx):
+            # wy (M, S, H), wx (M, S, W): exact resize-as-linear-map weights
+            # (resize_weight_matrix) — variable crop geometry rides in the
+            # weights, so one compiled program serves every box set.
+            f = frames_u8[idx].astype(jnp.float32)  # (M, H, W, 3)
+            t = jnp.einsum("msh,mhwc->mswc", wy, f)
+            return jnp.einsum("mtw,mswc->mstc", wx, t)  # (M, S, S, 3)
+
+        self._gather_crops = jax.jit(_gather_crops)
+        self._rnet_crops = jax.jit(
+            lambda p, frames_u8, idx, wy, wx: self.rnet.apply(
+                {"params": p},
+                (_gather_crops(frames_u8, idx, wy, wx) - 127.5) / 128.0,
+            )
+        )
+        self._onet_crops = jax.jit(
+            lambda p, frames_u8, idx, wy, wx: self.onet.apply(
+                {"params": p},
+                (_gather_crops(frames_u8, idx, wy, wx) - 127.5) / 128.0,
+            )
+        )
 
     @staticmethod
     def _norm(x: np.ndarray) -> np.ndarray:
@@ -297,6 +353,158 @@ class MTCNNDetector:
             out[i] = prev
         return out
 
+    # ------------------------------------------------------------------
+    # Batched cascade: same math as detect()/crop_faces() (stage semantics,
+    # thresholds, NMS order, crop numerics via resize_weight_matrix), but
+    # one device call per pyramid scale / stage for the WHOLE frame batch.
+
+    def _crop_weights(self, boxes: np.ndarray, h: int, w: int, size: int):
+        m = len(boxes)
+        wy = np.zeros((m, size, h), np.float32)
+        wx = np.zeros((m, size, w), np.float32)
+        for i, b in enumerate(boxes):
+            x1, y1, x2, y2 = _clamp_box(b, h, w)
+            wy[i, :, y1:y2] = resize_weight_matrix(y2 - y1, size)
+            wx[i, :, x1:x2] = resize_weight_matrix(x2 - x1, size)
+        return wy, wx
+
+    @staticmethod
+    def _pad_m(idx: np.ndarray, wy: np.ndarray, wx: np.ndarray, mult: int = 32):
+        """Pad the box axis to a bucket size so box-count changes reuse the
+        compiled program (padded rows give all-zero crops, discarded)."""
+        m = len(idx)
+        b = max(mult, -(-m // mult) * mult)
+        if b == m:
+            return idx, wy, wx
+        pad = b - m
+        return (
+            np.concatenate([idx, np.zeros(pad, idx.dtype)]),
+            np.concatenate([wy, np.zeros((pad,) + wy.shape[1:], wy.dtype)]),
+            np.concatenate([wx, np.zeros((pad,) + wx.shape[1:], wx.dtype)]),
+        )
+
+    def _stage1_host(self, prob: np.ndarray, reg: np.ndarray, scale: float):
+        """Shared stage-1 map->rows math for one frame at one scale."""
+        ys, xs = np.where(prob >= self.thresholds[0])
+        if len(ys) == 0:
+            return None
+        stride, cell = 2.0, 12.0
+        x1 = np.floor((xs * stride + 1) / scale)
+        y1 = np.floor((ys * stride + 1) / scale)
+        x2 = np.floor((xs * stride + cell) / scale)
+        y2 = np.floor((ys * stride + cell) / scale)
+        boxes = np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
+        scores = prob[ys, xs]
+        r = reg[ys, xs]
+        keep = nms_numpy(boxes, scores, 0.5)
+        return np.concatenate([boxes[keep], scores[keep, None], r[keep]], axis=1)
+
+    def detect_batched(self, frames: np.ndarray) -> List[Tuple[Optional[np.ndarray], float]]:
+        """Best (box, prob) per frame for a uint8 (N, H, W, 3) batch — the
+        cascade of detect() with O(scales + stages) device calls total
+        instead of O(N * (scales + boxes))."""
+        frames = np.ascontiguousarray(frames)
+        n, h, w = frames.shape[:3]
+        fdev = jnp.asarray(frames)
+        rows_per_frame: List[list] = [[] for _ in range(n)]
+        for scale in self._scales(h, w):
+            hs, ws = int(np.ceil(h * scale)), int(np.ceil(w * scale))
+            if hs < 12 or ws < 12:
+                continue
+            prob, reg = self._pnet_scaled(self.params[0], fdev, hs, ws)
+            prob = np.asarray(prob)[..., 1]
+            reg = np.asarray(reg)
+            for fi in range(n):
+                rows = self._stage1_host(prob[fi], reg[fi], scale)
+                if rows is not None:
+                    rows_per_frame[fi].append(rows)
+        stage1 = []
+        for fi in range(n):
+            if not rows_per_frame[fi]:
+                stage1.append(np.empty((0, 5), np.float32))
+                continue
+            rows = np.concatenate(rows_per_frame[fi], axis=0)
+            keep = nms_numpy(rows[:, :4], rows[:, 4], 0.7)
+            rows = rows[keep]
+            boxes = _apply_regression(rows[:, :4], rows[:, 5:9])
+            stage1.append(np.concatenate([boxes, rows[:, 4:5]], axis=1))
+
+        def flatten(per_frame):
+            idx = np.concatenate(
+                [np.full(len(b), fi, np.int32) for fi, b in enumerate(per_frame)]
+            ) if per_frame else np.empty(0, np.int32)
+            sq = (
+                np.concatenate([_square(b[:, :4]) for b in per_frame if len(b)])
+                if idx.size else np.empty((0, 4), np.float32)
+            )
+            return idx, sq
+
+        # stage 2 (R-Net) — one batched call over every frame's candidates
+        idx, sq = flatten(stage1)
+        stage2 = [np.empty((0, 5), np.float32)] * n
+        if idx.size:
+            wy, wx = self._crop_weights(sq, h, w, 24)
+            pidx, pwy, pwx = self._pad_m(idx, wy, wx)
+            prob, reg = self._rnet_crops(self.params[1], fdev, pidx, pwy, pwx)
+            prob = np.asarray(prob)[: len(idx), 1]
+            reg = np.asarray(reg)[: len(idx)]
+            for fi in range(n):
+                m = (idx == fi) & (prob > self.thresholds[1])
+                if not m.any():
+                    continue
+                sqf, pf, rf = sq[m], prob[m], reg[m]
+                keep = nms_numpy(sqf, pf, 0.7)
+                out = _apply_regression(sqf[keep], rf[keep])
+                stage2[fi] = np.concatenate([out, pf[keep, None]], axis=1)
+
+        # stage 3 (O-Net)
+        idx, sq = flatten(stage2)
+        stage3: List[Tuple[Optional[np.ndarray], float]] = [(None, 0.0)] * n
+        if idx.size:
+            wy, wx = self._crop_weights(sq, h, w, 48)
+            pidx, pwy, pwx = self._pad_m(idx, wy, wx)
+            prob, reg, _lm = self._onet_crops(self.params[2], fdev, pidx, pwy, pwx)
+            prob = np.asarray(prob)[: len(idx), 1]
+            reg = np.asarray(reg)[: len(idx)]
+            for fi in range(n):
+                m = (idx == fi) & (prob > self.thresholds[2])
+                if not m.any():
+                    continue
+                out = _apply_regression(sq[m], reg[m])
+                pf = prob[m]
+                keep = nms_numpy(out, pf, 0.7, "min")
+                out, pf = out[keep], pf[keep]
+                best = int(np.argmax(pf))
+                stage3[fi] = (out[best], float(pf[best]))
+        return stage3
+
+    def crop_faces_batched(self, frames: np.ndarray, prob_threshold: float = 0.3) -> np.ndarray:
+        """crop_faces() semantics (prev-crop fallback included) with the
+        batched cascade + ONE batched device call for the final aligned
+        crops."""
+        from eav_tpu.ingest.video import center_crop_resize
+
+        n, h, w = frames.shape[:3]
+        dets = self.detect_batched(frames)
+        hit = [i for i, (b, p) in enumerate(dets) if b is not None and p > prob_threshold]
+        crops = {}
+        if hit:
+            boxes = np.stack([dets[i][0] for i in hit])
+            wy, wx = self._crop_weights(boxes, h, w, self.face_size)
+            pidx, pwy, pwx = self._pad_m(np.asarray(hit, np.int32), wy, wx)
+            raw = np.asarray(
+                self._gather_crops(jnp.asarray(frames), pidx, pwy, pwx)
+            )[: len(hit)]
+            norm = (raw - 127.5) / 128.0
+            faces = np.clip((norm + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
+            crops = dict(zip(hit, faces))
+        out = np.empty((n, self.face_size, self.face_size, 3), np.uint8)
+        prev = center_crop_resize(frames[:1], self.face_size)[0]
+        for i in range(n):
+            prev = crops.get(i, prev)
+            out[i] = prev
+        return out
+
 
 # facenet_pytorch flattens the last conv's NCHW activations after a
 # permute(0, 3, 2, 1) -> (B, W, H, C); our Flax nets flatten (B, C, H, W).
@@ -399,4 +607,6 @@ def default_face_cropper(cfg: VisionPreprocConfig) -> Optional[Callable]:
         factor=cfg.mtcnn_factor,
         face_size=cfg.face_image_size,
     )
-    return lambda frames: det.crop_faces(frames, cfg.face_prob_threshold)
+    # batched cascade: numerically the per-frame path (parity-tested) at
+    # O(scales + stages) device calls per clip instead of O(frames * boxes)
+    return lambda frames: det.crop_faces_batched(frames, cfg.face_prob_threshold)

@@ -71,16 +71,20 @@ def main():
     det = MTCNNDetector(*random_mtcnn_params(), face_size=56)
     for h, w in ((480, 640), (270, 480)):
         frames = synth_face_frames(args.frames, h, w)
-        det.crop_faces(frames[:2])  # compile all pyramid shapes
-        t0 = time.perf_counter()
-        det.crop_faces(frames)
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": f"mtcnn_cascade_fps_{w}x{h}",
-            "value": round(args.frames / dt, 2),
-            "unit": "frames/s",
-            "ms_per_frame": round(1000 * dt / args.frames, 1),
-        }), flush=True)
+        for name, fn in (
+            ("batched", det.crop_faces_batched),  # the ingest path
+            ("perframe", det.crop_faces),
+        ):
+            fn(frames[:2])  # compile all pyramid shapes
+            t0 = time.perf_counter()
+            fn(frames)
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": f"mtcnn_{name}_fps_{w}x{h}",
+                "value": round(args.frames / dt, 2),
+                "unit": "frames/s",
+                "ms_per_frame": round(1000 * dt / args.frames, 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

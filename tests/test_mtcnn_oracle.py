@@ -385,3 +385,46 @@ def _flat(tree, prefix=""):
         else:
             out[f"{prefix}{k}"] = np.asarray(v)
     return out
+
+
+def test_resize_weight_matrix_matches_jax_resize():
+    """resize_weight_matrix must be the EXACT linear map of
+    jax.image.resize(..., 'bilinear', antialias=True) along one axis — the
+    batched cascade's crops ride on this equality."""
+    from eav_tpu.models.mtcnn import resize_weight_matrix
+
+    rng = np.random.default_rng(0)
+    for in_size, out_size in ((7, 24), (50, 24), (24, 24), (3, 48), (113, 56)):
+        x = rng.normal(size=(in_size, 5)).astype(np.float32)
+        ref = np.asarray(
+            jax.image.resize(jnp.asarray(x), (out_size, 5), "bilinear", antialias=True)
+        )
+        got = resize_weight_matrix(in_size, out_size) @ x
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_cascade_matches_sequential():
+    """detect_batched / crop_faces_batched == the per-frame path (same boxes,
+    probs, and uint8 crops) on a batch with faces, no-detection frames, and
+    the prev-crop fallback chain."""
+    _, flax_params = _build_everything()
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(6, 60, 52, 3)).astype(np.uint8)
+
+    det = MTCNNDetector(*flax_params, thresholds=(0.2, 0.05, 0.05))
+    seq = [det.detect(f) for f in frames]
+    bat = det.detect_batched(frames)
+    assert len(seq) == len(bat)
+    n_hits = 0
+    for (sb, sp), (bb, bp) in zip(seq, bat):
+        assert (sb is None) == (bb is None)
+        if sb is not None:
+            n_hits += 1
+            np.testing.assert_allclose(bb, sb, rtol=1e-4, atol=0.02)
+            assert abs(bp - sp) < 1e-4
+    assert n_hits > 0, "degenerate test: no frame produced a detection"
+
+    crops_seq = det.crop_faces(frames, prob_threshold=0.0)
+    crops_bat = det.crop_faces_batched(frames, prob_threshold=0.0)
+    # uint8 crops may differ by 1 LSB where float rounding crosses a .5
+    assert np.abs(crops_seq.astype(int) - crops_bat.astype(int)).max() <= 1
