@@ -389,6 +389,16 @@ class ModalityPipelines:
             # default. Either way stacking AST loses to serial (93.9), so
             # the sweep policy keeps AST serial (cli.py stacking policy).
             model = model.clone(attn_impl="xla")
+        if getattr(model, "remat", None) == "none":
+            # Stacked programs multiply every residual by S. For the
+            # transformer families the attention sublayer's residuals
+            # (q/k/v/o + the (B,H,T,T) probs on the XLA path) dominate:
+            # a SINGLE-subject stacked ViT-base at production shape exceeds
+            # the 16 GB buffer budget without remat (journaled
+            # RESOURCE_EXHAUSTED, round-3 production sweep), while
+            # remat='attn' re-runs one attention forward in the backward
+            # pass instead — numerically identical (tests/test_models_misc).
+            model = model.clone(remat="attn")
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         if init_params is not None:
             # broadcast the checkpoint across the subject axis (same init as
