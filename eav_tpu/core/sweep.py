@@ -183,16 +183,41 @@ class SweepRunner:
                 return
             s = group[0]
             tid = self._task_id(s, modality)
-            rec = {
-                "task": tid, "status": "failed",
-                "attempts": state.get(tid, {}).get("attempts", 0) + 1,
-                "error": f"{type(e).__name__}: {e}",
-                "traceback": traceback.format_exc(limit=5),
-                "ts": time.time(),
-            }
+            # Bisection bottom: a SINGLE-subject stacked program still
+            # failed. A stacked (vmapped) program can exceed the device
+            # buffer budget where the plain serial program fits (journaled
+            # on hardware: S=1 stacked ViT-base at production shape), so
+            # fall back to the serial task fn here rather than burning the
+            # subject's serial retry budget on another stacked attempt.
+            if verbose:
+                print(f"[sweep] {tid} stacked failed ({e}); serial fallback")
+            try:
+                t1 = time.perf_counter()
+                result = self.task_fn(s, modality)
+                wall = time.perf_counter() - t1
+                metrics = dict(result.metrics)
+                metrics.update(subject=s, modality=modality,
+                               wall_clock_s=round(wall, 3))
+                _append_jsonl(self.cfg.metrics_path, metrics)
+                rec = {
+                    "task": tid, "status": "done",
+                    "attempts": state.get(tid, {}).get("attempts", 0) + 1,
+                    "wall_clock_s": round(wall, 3),
+                    "note": f"serial fallback after stacked failure: {e}",
+                    "ts": time.time(),
+                }
+            except Exception as e2:  # noqa: BLE001 — task isolation
+                rec = {
+                    "task": tid, "status": "failed",
+                    "attempts": state.get(tid, {}).get("attempts", 0) + 1,
+                    "error": f"{type(e2).__name__}: {e2}",
+                    "stacked_error": f"{type(e).__name__}: {e}",
+                    "traceback": traceback.format_exc(limit=5),
+                    "ts": time.time(),
+                }
             _append_jsonl(self.cfg.journal_path, rec)
             state[tid] = rec
-            if verbose:
+            if verbose and rec["status"] == "failed":
                 print(f"[sweep] {tid} FAILED ({rec['error']})")
 
     def aggregate(self) -> Dict[str, Dict[str, float]]:

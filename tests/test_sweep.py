@@ -111,11 +111,16 @@ def test_run_batched_failure_bisects_to_offender(tmp_path):
             raise RuntimeError("group boom")
         return {s: TR(metrics={"accuracy": 0.4}) for s in subjects}
 
+    def serial_fn(s, m):
+        raise RuntimeError("serial boom")  # subject 2 is truly bad
+
     cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4), modalities=("eeg",))
-    runner = SweepRunner(cfg, lambda s, m: None)
+    runner = SweepRunner(cfg, serial_fn)
     state = runner.run_batched("eeg", batch_fn, group_size=4, verbose=False)
     assert state["subject02_eeg"]["status"] == "failed"
-    assert "group boom" in state["subject02_eeg"]["error"]
+    assert "serial boom" in state["subject02_eeg"]["error"]
+    # the stacked failure that triggered the fallback is preserved
+    assert "group boom" in state["subject02_eeg"]["stacked_error"]
     for s in (1, 3, 4):
         assert state[f"subject{s:02d}_eeg"]["status"] == "done", s
     # only the offender is pending (it has one retry left)
@@ -123,3 +128,29 @@ def test_run_batched_failure_bisects_to_offender(tmp_path):
     # the bisection pattern: (1,2,3,4) fail -> (1,2) fail -> (1) ok, (2) fail,
     # then (3,4) ok
     assert calls == [(1, 2, 3, 4), (1, 2), (1,), (2,), (3, 4)]
+
+
+def test_bisection_bottom_falls_back_to_serial(tmp_path):
+    """A stacked program can exceed the device buffer budget where the
+    serial one fits (measured: S=1 stacked ViT-base at production shape,
+    round-3 journal) — the bisection bottom must complete the subject
+    through the serial task fn instead of burning its retry budget."""
+    from eav_tpu.core.sweep import TaskResult as TR
+
+    serial_calls = []
+
+    def batch_fn(subjects):
+        raise RuntimeError("stacked OOM")
+
+    def serial_fn(s, m):
+        serial_calls.append((s, m))
+        return TR(metrics={"accuracy": 0.5})
+
+    cfg = _cfg(tmp_path, subjects=(1, 2), modalities=("vision",))
+    runner = SweepRunner(cfg, serial_fn)
+    state = runner.run_batched("vision", batch_fn, group_size=2, verbose=False)
+    assert all(r["status"] == "done" for r in state.values())
+    assert all("stacked OOM" in r["note"] for r in state.values())
+    assert serial_calls == [(1, "vision"), (2, "vision")]
+    assert runner.pending_tasks() == []
+    assert runner.aggregate()["vision"]["n_subjects"] == 2
