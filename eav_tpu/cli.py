@@ -101,10 +101,14 @@ def cmd_run(args) -> int:
 # - AST-base at bs 8 x 1214 tokens saturates the chip ALONE (S=1 68.2 vs S=4
 #   aggregate 62.6 samples/s measured) — stacking strictly hurts, so AST
 #   subjects run serially per chip and spread ACROSS chips;
-# - ViT-base per-frame fine-tunes are memory-bound (7k frame split + 87M x3
-#   optimizer trees per stacked subject): cap measured on hardware.
+# - ViT-base at production shape (7k frames, bs 128) MEASURED round 3: a
+#   no-remat stack exceeds the 16 GB buffer budget even at S=1; with
+#   remat='attn' an S=2 stack runs but at 107.8 aggregate samples/s vs 520
+#   serial — the memory pressure forces XLA into a far slower program. So
+#   vision is serial per chip too; stacking is the lever for the SMALL
+#   models only.
 _STACK_CAPS = {"eeg": 8, "eeg_conformer": 8, "audio": 1, "audio_scnn": 8,
-               "vision": 2, "vision_resnet": 2}
+               "vision": 1, "vision_resnet": 1}
 
 
 def _run_sweep(args, cfg, runner, pipelines) -> int:
