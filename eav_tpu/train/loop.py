@@ -106,6 +106,11 @@ class JitTrainer:
         self.maxnorm_rules = tuple(maxnorm_rules)
         self.head_regex = head_regex
         self.epochs_per_call = epochs_per_call
+        # compiled phase programs keyed by (freeze, epochs, n_train, n_test):
+        # a sweep runs the SAME program for every subject (identical shapes),
+        # and rebuilding it per fit() pays re-trace + executable reload —
+        # ~60 s/subject through the remote-compile tunnel (round-3 journal)
+        self._phase_fn_cache: Dict[Any, Any] = {}
 
     # -- model plumbing --------------------------------------------------
 
@@ -406,7 +411,6 @@ class JitTrainer:
                 chunks = [epc] * (phase_cfg.epochs // epc)
                 if phase_cfg.epochs % epc:
                     chunks.append(phase_cfg.epochs % epc)
-            phase_fns: Dict[int, Any] = {}
             for chunk_epochs in chunks:
                 if use_python_loop:
                     params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
@@ -416,12 +420,14 @@ class JitTrainer:
                         )
                     )
                 else:
-                    if chunk_epochs not in phase_fns:
-                        phase_fns[chunk_epochs] = self._build_phase(
+                    key = (phase_cfg.freeze, chunk_epochs,
+                           int(tr_x.shape[0]), int(te_x.shape[0]))
+                    if key not in self._phase_fn_cache:
+                        self._phase_fn_cache[key] = self._build_phase(
                             mask, chunk_epochs, int(tr_x.shape[0]), int(te_x.shape[0])
                         )
                     params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
-                        phase_fns[chunk_epochs](
+                        self._phase_fn_cache[key](
                             params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
                         )
                     )

@@ -178,6 +178,20 @@ class ModalityPipelines:
         self.epochs_per_call = epochs_per_call
         self.mesh = mesh
         self.presets = presets or default_presets()
+        # one JitTrainer per preset, reused across subjects: every subject
+        # runs the same compiled phase programs (identical shapes), so the
+        # per-subject rebuild was paying re-trace + executable reload —
+        # measured ~60 s/subject through the remote-compile tunnel
+        self._trainers: Dict[str, JitTrainer] = {}
+
+    def _trainer(self, preset_key: str, preset) -> "JitTrainer":
+        t = self._trainers.get(preset_key)
+        if t is None:
+            model, kw = build_model(preset)
+            t = JitTrainer(model, preset.finetune,
+                           epochs_per_call=self.epochs_per_call, **kw)
+            self._trainers[preset_key] = t
+        return t
 
     # -- per-modality feature loading -------------------------------------
 
@@ -262,8 +276,7 @@ class ModalityPipelines:
         preset = self.presets[preset_key]
         x, y = self.load_eeg(subject, preset_key)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
-        model, kw = build_model(preset)
-        trainer = JitTrainer(model, preset.finetune, **kw)
+        trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject)
         fit_s = time.perf_counter() - t0
@@ -280,9 +293,8 @@ class ModalityPipelines:
         preset = self.presets[key]
         x, y = self.load_audio(subject, frontend)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
-        model, kw = build_model(preset)
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
-        trainer = JitTrainer(model, preset.finetune, **kw)
+        trainer = self._trainer(key, preset)
         t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject, init_params=init_params,
                              init_batch_stats=init_bstats)
@@ -309,9 +321,8 @@ class ModalityPipelines:
             size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
             tr_f = preprocess_frames(tr_f, size=size)
             te_f = preprocess_frames(te_f, size=size)
-        model, kw = build_model(preset)
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
-        trainer = JitTrainer(model, preset.finetune, **kw)
+        trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
         result = trainer.fit((tr_f, tr_fy, te_f, te_fy), seed=self.seed + subject,
                              init_params=init_params, init_batch_stats=init_bstats,
