@@ -71,12 +71,15 @@ def _pick_blocks(t: int):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, t_real: int, scale: float, nk: int, bk: int,
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale: float, nk: int,
 ):
     """Grid (BH, nq, nk), nk fastest. Blocks: q/o (1, BLK_Q, D) pinned per
     (bh, qi); k/v (1, BLK_K, D) streamed per ki; scratch acc/m/l carry the
-    online-softmax state across ki steps."""
+    online-softmax state across ki steps. Padded keys are masked by ONE
+    broadcast add of a precomputed (1, BLK_K) 0/-inf bias row — an
+    iota+compare+select here costs three full VPU passes over the score
+    tile instead (the kernels are VPU-bound at head dim 64)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -89,8 +92,7 @@ def _flash_kernel(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BLK_Q, BLK_K) — bf16 operands hit the fast MXU path, f32 accumulate
-    key_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_idx < t_real, s, NEG_INF)
+    s = s + bias_ref[...]  # (1, BLK_K) broadcast over rows
     m_prev, l_prev = m_ref[...], l_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp(s - m_new)
@@ -109,12 +111,14 @@ def _flash_kernel(
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, t_real: int, scale: float, nq: int, bk: int,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, bias_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, scale: float, nq: int,
 ):
     """Grid (BH, nk, nq), nq fastest. k/v (1, BLK_K, D) pinned per (bh, ki);
-    q/do/lse/di streamed per qi; scratch dk/dv accumulate over q blocks."""
-    ki, qi = pl.program_id(1), pl.program_id(2)
+    q/do/lse/di streamed per qi; scratch dk/dv accumulate over q blocks.
+    Padded keys masked by the shared (1, BLK_K) bias row (see _flash_kernel);
+    exp(s - 1e30 - lse) is exactly 0.0 so padded dk/dv rows stay zero."""
+    qi = pl.program_id(2)
 
     @pl.when(qi == 0)
     def _init():
@@ -129,8 +133,7 @@ def _dkv_kernel(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BLK_Q, BLK_K)
-    key_cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_cols < t_real, s, NEG_INF)
+    s = s + bias_ref[...]
     p = jnp.exp(s - lse)
     pc = p.astype(do.dtype)  # bf16 operand for the MXU; f32 accumulate
     dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
@@ -153,8 +156,8 @@ def _dkv_kernel(
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_acc,
-    *, t_real: int, scale: float, nk: int, bk: int,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, bias_ref, dq_ref, dq_acc,
+    *, scale: float, nk: int,
 ):
     """Grid (BH, nq, nk), nk fastest. q/do/lse/di (BLK_Q rows) pinned per
     (bh, qi); k/v streamed per ki; scratch dq accumulates over key blocks."""
@@ -172,8 +175,7 @@ def _dq_kernel(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    key_idx = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_idx < t_real, s, NEG_INF)
+    s = s + bias_ref[...]
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())),
@@ -209,6 +211,16 @@ def _from_bh(x, b, h, t, d):
     return jnp.transpose(x, (0, 2, 1, 3))
 
 
+def _key_bias(t: int, t_pad: int):
+    """(1, t_pad) f32 row: 0 for real keys, -1e30 for padding. Computed once
+    in XLA; each kernel grid step adds its (1, BLK_K) block to the score
+    tile — exp(s - 1e30 - lse) is exactly 0.0, so masking semantics are
+    identical to the old iota+compare+select at a third of the VPU passes."""
+    return jnp.where(
+        jnp.arange(t_pad, dtype=jnp.int32) < t, 0.0, NEG_INF
+    ).astype(jnp.float32)[None, :]
+
+
 def _flash_forward_bh(qb, kb, vb, t: int, interpret: bool):
     """Core forward on already-(B*H, T_pad, D) operands; returns (o, lse)
     in the same layout. ``t`` = real (unpadded) sequence length."""
@@ -218,12 +230,13 @@ def _flash_forward_bh(qb, kb, vb, t: int, interpret: bool):
     assert t_pad2 == t_pad, (t_pad2, t_pad)
     nq, nk = t_pad // bq, t_pad // bk
     return pl.pallas_call(
-        functools.partial(_flash_kernel, t_real=t, scale=scale, nk=nk, bk=bk),
+        functools.partial(_flash_kernel, scale=scale, nk=nk),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
             pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda bhi, qi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, bk), lambda bhi, qi, ki: (0, ki)),
         ],
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
@@ -239,7 +252,7 @@ def _flash_forward_bh(qb, kb, vb, t: int, interpret: bool):
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qb, kb, vb)
+    )(qb, kb, vb, _key_bias(t, t_pad))
 
 
 def _flash_forward(q, k, v, interpret: bool):
@@ -261,9 +274,10 @@ def _flash_backward_bh(qb, kb, vb, ob, lse, gb, t: int, interpret: bool):
     # di = rowsum(dO * O) — cheap elementwise reduce, stays in XLA
     di = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1, keepdims=True)
     nq, nk = t_pad // bq, t_pad // bk
+    bias = _key_bias(t, t_pad)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, t_real=t, scale=scale, nq=nq, bk=bk),
+        functools.partial(_dkv_kernel, scale=scale, nq=nq),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # q
@@ -272,6 +286,7 @@ def _flash_backward_bh(qb, kb, vb, ob, lse, gb, t: int, interpret: bool):
             pl.BlockSpec((1, bq, d), lambda bhi, ki, qi: (bhi, qi, 0)),  # do
             pl.BlockSpec((1, bq, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # lse
             pl.BlockSpec((1, bq, 1), lambda bhi, ki, qi: (bhi, qi, 0)),  # di
+            pl.BlockSpec((1, bk), lambda bhi, ki, qi: (0, ki)),  # bias
         ],
         out_specs=(
             pl.BlockSpec((1, bk, d), lambda bhi, ki, qi: (bhi, ki, 0)),
@@ -286,10 +301,10 @@ def _flash_backward_bh(qb, kb, vb, ob, lse, gb, t: int, interpret: bool):
             pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
-    )(qb, kb, vb, gb, lse, di)
+    )(qb, kb, vb, gb, lse, di, bias)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, t_real=t, scale=scale, nk=nk, bk=bk),
+        functools.partial(_dq_kernel, scale=scale, nk=nk),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # q
@@ -298,12 +313,13 @@ def _flash_backward_bh(qb, kb, vb, ob, lse, gb, t: int, interpret: bool):
             pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),  # do
             pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # lse
             pl.BlockSpec((1, bq, 1), lambda bhi, qi, ki: (bhi, qi, 0)),  # di
+            pl.BlockSpec((1, bk), lambda bhi, qi, ki: (0, ki)),  # bias
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bhi, qi, ki: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t_pad, d), qb.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
-    )(qb, kb, vb, gb, lse, di)
+    )(qb, kb, vb, gb, lse, di, bias)
 
     return dq, dk, dv
 
