@@ -59,7 +59,9 @@ def _cached(cache_dir: Optional[str], key: str, compute: Callable[[], Tuple[np.n
         return compute()
     path = os.path.join(cache_dir, key + ".npz")
     if os.path.exists(path):
-        z = np.load(path)
+        from eav_tpu.ingest.npz import fast_npz_load  # 101 s -> <1 s on the 1.5 GB vision cache
+
+        z = fast_npz_load(path)
         return z["x"], z["y"]
     x, y = compute()
     os.makedirs(cache_dir, exist_ok=True)
@@ -246,7 +248,9 @@ class ModalityPipelines:
         )
 
     def _finish(self, subject, modality, preset, trainer, result, te_y, vote_group,
-                fit_seconds: Optional[float] = None, n_train: Optional[int] = None):
+                fit_seconds: Optional[float] = None, n_train: Optional[int] = None,
+                load_seconds: Optional[float] = None,
+                archive_seconds: Optional[float] = None):
         logits = result.outputs_test
         if vote_group:
             tl, pred = M.trial_vote(logits, vote_group)
@@ -270,47 +274,64 @@ class ModalityPipelines:
         if fit_seconds and n_train:  # SURVEY.md §5 metrics row: samples/sec
             metrics["fit_seconds"] = round(fit_seconds, 3)
             metrics["samples_per_sec"] = round(epochs * n_train / fit_seconds, 2)
+            # per-stage wall split (round-3 observability: the production
+            # sweep journal showed 150-230 s/subject of non-fit wall with no
+            # way to attribute it — load = cache read + split + host preproc,
+            # archive = train-split predict + logit save for fusion)
+            metrics["load_seconds"] = round(load_seconds or 0.0, 3)
+            metrics["archive_seconds"] = round(archive_seconds or 0.0, 3)
         return TaskResult(metrics=metrics, artifacts={"params": result.params})
 
     def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:
         preset = self.presets[preset_key]
+        t0 = time.perf_counter()
         x, y = self.load_eeg(subject, preset_key)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
+        load_s = time.perf_counter() - t0
         trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject)
         fit_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if self.logits_dir is not None:
             self._save_logits(
                 subject, preset_key, "train",
                 trainer.predict(result.params, result.batch_stats, data[0]),
             )
+        archive_s = time.perf_counter() - t0
         return self._finish(subject, preset_key, preset, trainer, result, data[3], None,
-                            fit_seconds=fit_s, n_train=len(data[0]))
+                            fit_seconds=fit_s, n_train=len(data[0]),
+                            load_seconds=load_s, archive_seconds=archive_s)
 
     def run_audio(self, subject: int, frontend: str = "fbank") -> TaskResult:
         key = "audio" if frontend == "fbank" else "audio_scnn"
         preset = self.presets[key]
+        t0 = time.perf_counter()
         x, y = self.load_audio(subject, frontend)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
+        load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(key, preset)
         t0 = time.perf_counter()
         result = trainer.fit(data, seed=self.seed + subject, init_params=init_params,
                              init_batch_stats=init_bstats)
         fit_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if self.logits_dir is not None:
             self._save_logits(
                 subject, key, "train",
                 trainer.predict(result.params, result.batch_stats, data[0]),
             )
+        archive_s = time.perf_counter() - t0
         return self._finish(subject, key, preset, trainer, result, data[3], None,
-                            fit_seconds=fit_s, n_train=len(data[0]))
+                            fit_seconds=fit_s, n_train=len(data[0]),
+                            load_seconds=load_s, archive_seconds=archive_s)
 
     def run_vision(self, subject: int, preset_key: str = "vision") -> TaskResult:
         from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
 
         preset = self.presets[preset_key]
+        t0 = time.perf_counter()
         x, y = self.load_vision(subject, preset_key)  # (trials, frames, H, W, 3) uint8
         tr_x, tr_y, te_x, te_y = eav_split(x, y, h_idx=preset.split.h_idx)
         fps = x.shape[1]
@@ -321,6 +342,7 @@ class ModalityPipelines:
             size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
             tr_f = preprocess_frames(tr_f, size=size)
             te_f = preprocess_frames(te_f, size=size)
+        load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
@@ -328,13 +350,16 @@ class ModalityPipelines:
                              init_params=init_params, init_batch_stats=init_bstats,
                              mesh=self.mesh)
         fit_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if self.logits_dir is not None:
             tr_logits = trainer.predict(result.params, result.batch_stats, tr_f)
             self._save_logits(
                 subject, preset_key, "train", np.asarray(M.trial_vote(tr_logits, fps)[0])
             )
+        archive_s = time.perf_counter() - t0
         return self._finish(subject, preset_key, preset, trainer, result, te_fy, fps,
-                            fit_seconds=fit_s, n_train=len(tr_f))
+                            fit_seconds=fit_s, n_train=len(tr_f),
+                            load_seconds=load_s, archive_seconds=archive_s)
 
     def run_stacked(self, subjects, modality: str = "eeg") -> Dict[int, TaskResult]:
         """Subject-parallel fine-tunes: all subjects of one modality as ONE
@@ -366,6 +391,7 @@ class ModalityPipelines:
         is_vision = modality in ("vision", "vision_resnet")
         vote_group = None
         splits = []
+        t_load = time.perf_counter()
         for s in subjects:
             x, y = loaders[modality](s)
             sp = eav_split(x, y, h_idx=preset.split.h_idx)
@@ -388,6 +414,7 @@ class ModalityPipelines:
         if len(shapes) != 1:
             raise ValueError(f"subjects have inconsistent split shapes: {shapes}")
         stack = tuple(np.stack([sp[i] for sp in splits]) for i in range(4))
+        load_s = time.perf_counter() - t_load  # shared across the group, like fit_seconds
         model, kw = build_model(preset)
         if getattr(model, "attn_impl", None) == "auto":
             # vmap-stacked fine-tunes: the flash kernels' saved q/k/v/o
@@ -434,6 +461,7 @@ class ModalityPipelines:
         out: Dict[int, TaskResult] = {}
         inner = JitTrainer(model, preset.finetune, **kw)
         for i, s in enumerate(subjects):
+            t_arch = time.perf_counter()
             logits = stacked.outputs_test[i]
             if vote_group:
                 tl, pred = M.trial_vote(logits, vote_group)
@@ -471,6 +499,11 @@ class ModalityPipelines:
                     "samples_per_sec": round(
                         len(subjects) * epochs * n_train / fit_s, 2
                     ),
+                    # same per-stage split as the serial _finish rows:
+                    # load is the whole group's data loop (shared), archive
+                    # this subject's predict-train + logit saves
+                    "load_seconds": round(load_s, 3),
+                    "archive_seconds": round(time.perf_counter() - t_arch, 3),
                 }
             )
         return out
