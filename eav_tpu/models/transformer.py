@@ -62,13 +62,18 @@ class PatchProj(nn.Module):
         sr, sc = self.strides
         nr = (x.shape[1] - p) // sr + 1
         nc = (x.shape[2] - p) // sc + 1
-        rows = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(x, sr * i, p, 1) for i in range(nr)], 1
-        )  # (B, nr, P, W, C)
-        cols = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(rows, sc * j, p, 3) for j in range(nc)], 2
-        )  # (B, nr, nc, P, P, C)
         b = x.shape[0]
+        if (sr, sc) == (p, p) and x.shape[1] == nr * p and x.shape[2] == nc * p:
+            # non-overlapping tiling (ViT 224/16): patch extraction is a pure
+            # reshape+transpose — no slicing, no data duplication
+            cols = x.reshape(b, nr, p, nc, p, c).transpose(0, 1, 3, 2, 4, 5)
+        else:
+            rows = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(x, sr * i, p, 1) for i in range(nr)], 1
+            )  # (B, nr, P, W, C)
+            cols = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(rows, sc * j, p, 3) for j in range(nc)], 2
+            )  # (B, nr, nc, P, P, C)
         y = cols.reshape(b, nr * nc, p * p * c) @ kernel.reshape(p * p * c, self.hidden)
         return (y + bias).reshape(b, nr, nc, self.hidden)
 

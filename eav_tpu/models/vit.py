@@ -12,7 +12,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from eav_tpu.models.transformer import TransformerEncoder
+from eav_tpu.models.transformer import PatchProj, TransformerEncoder
 
 
 class ViT(nn.Module):
@@ -28,6 +28,9 @@ class ViT(nn.Module):
     attn_impl: str = "xla"
     compute_dtype: object = None  # e.g. jnp.bfloat16 for MXU throughput
     remat: str = "none"  # 'attn'/'full': rematerialize encoder sublayers
+    # dtype of the residual stream through the encoder (None = f32); same
+    # semantics as models/ast.py — the head (final_ln onward) stays f32.
+    stream_dtype: object = None
     # Fold the ViTImageProcessor recipe (bilinear resize to image_size,
     # rescale 1/255, normalize mean/std 0.5) into the model so the data
     # pipeline can ship raw uint8 frames to the device (4x less transfer
@@ -53,11 +56,12 @@ class ViT(nn.Module):
                     method="bilinear", antialias=True,
                 )
             x = (x / 255.0 - 0.5) / 0.5
-        x = nn.Conv(
+        # same param tree as nn.Conv (kernel (P,P,C,hidden) + bias) but the
+        # non-overlapping tiling lowers as reshape+one MXU gemm (PatchProj)
+        x = PatchProj(
             self.hidden,
+            self.patch_size,
             (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
             name="patch_proj",
         )(x)
         x = x.reshape(b, -1, self.hidden)  # row-major patches == HF flatten
@@ -70,12 +74,14 @@ class ViT(nn.Module):
         )
         x = jnp.concatenate([jnp.tile(cls, (b, 1, 1)), x], axis=1) + pos
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        if self.stream_dtype is not None:
+            x = x.astype(self.stream_dtype)
         x = TransformerEncoder(
             self.hidden, self.layers, self.heads, self.mlp_dim, self.eps,
             self.dropout, self.attn_impl, self.compute_dtype, self.remat,
             name="encoder",
         )(x, deterministic=not train)
-        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x.astype(jnp.float32))
         return nn.Dense(self.num_labels, name="classifier")(x[:, 0])
 
 
