@@ -303,22 +303,52 @@ class JitTrainer:
 
     def predict(self, params, bstats, x, batch_size: Optional[int] = None) -> np.ndarray:
         """Eval-mode logits for an arbitrary split (used by the fusion stage
-        to collect train-trial scores)."""
+        to collect train-trial scores).
+
+        On accelerators the whole split is ONE fused scan program (padded
+        tail via clamped indices, padded rows sliced off) — the per-batch
+        loop costs one device round trip per batch, which on the tunneled
+        TPU measured ~0.5 s each: 36-50 s per subject for the 7,000-frame
+        vision archive (round-3 journal archive_seconds). CPU keeps the
+        per-batch jit loop (XLA:CPU lowers convs inside scan bodies ~130x
+        slower than standalone — same reason as _run_phase_python)."""
         bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
         x = np.asarray(x)
         x = jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
-        if not hasattr(self, "_predict_jit"):
-            self._predict_jit = jax.jit(self._apply_eval)
-        apply = self._predict_jit
-        # pad the tail batch to keep one compiled shape
-        outs = []
-        for i in range(0, len(x), bs):
-            chunk = x[i : i + bs]
-            n = chunk.shape[0]
-            if n < bs:
-                chunk = jnp.concatenate([chunk, jnp.repeat(chunk[-1:], bs - n, axis=0)])
-            outs.append(np.asarray(apply(params, bstats, chunk))[:n])
-        return np.concatenate(outs, axis=0)
+        n = int(x.shape[0])
+        bs = min(bs, n)
+        if jax.default_backend() == "cpu":
+            if not hasattr(self, "_predict_jit"):
+                self._predict_jit = jax.jit(self._apply_eval)
+            apply = self._predict_jit
+            # pad the tail batch to keep one compiled shape
+            outs = []
+            for i in range(0, n, bs):
+                chunk = x[i : i + bs]
+                m = chunk.shape[0]
+                if m < bs:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], bs - m, axis=0)]
+                    )
+                outs.append(np.asarray(apply(params, bstats, chunk))[:m])
+            return np.concatenate(outs, axis=0)
+        if not hasattr(self, "_predict_fused"):
+            self._predict_fused = {}
+        key = (bs, n, str(x.dtype))
+        if key not in self._predict_fused:
+            steps = -(-n // bs)
+
+            def fused(params, bstats, xs):
+                idx = jnp.minimum(jnp.arange(steps * bs), n - 1).reshape(steps, bs)
+
+                def body(_, ix):
+                    return None, self._apply_eval(params, bstats, xs[ix])
+
+                _, logits = jax.lax.scan(body, None, idx)
+                return logits.reshape(steps * bs, -1)[:n]
+
+            self._predict_fused[key] = jax.jit(fused)
+        return np.asarray(self._predict_fused[key](params, bstats, x))
 
     def fit(
         self,

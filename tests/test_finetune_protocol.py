@@ -250,3 +250,24 @@ def test_adamw_trajectory_matches_torch_freeze_unfreeze():
         assert int(np.asarray(state.count["head"]["w"])) == 12
     finally:
         jax.config.update("jax_enable_x64", prev_x64)
+
+
+def test_predict_fused_matches_loop(tiny_data, monkeypatch):
+    """The accelerator predict path (one fused scan program — round-3 fix for
+    36-50 s/subject of per-batch tunnel round trips) must equal the CPU
+    per-batch loop, including the clamped-index padded tail batch."""
+    tr_x, tr_y, te_x, te_y = tiny_data
+    cfg = FinetuneConfig(
+        model="ast", batch_size=8,
+        phases=(PhaseConfig(epochs=1, lr=1e-3, freeze=True),),
+    )
+    model = ast_tiny()
+    trainer = JitTrainer(model, cfg)
+    params = model.init(jax.random.PRNGKey(0), jax.numpy.asarray(tr_x[:1]),
+                        train=False)["params"]
+    # 10 samples / bs 8 -> one full + one partial batch
+    x = tr_x[:10]
+    ref = trainer.predict(params, {}, x)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused = JitTrainer(model, cfg).predict(params, {}, x)
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
