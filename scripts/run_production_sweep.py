@@ -140,10 +140,13 @@ def main():
             if m is None or fs is None:
                 continue
             d = per_mod.setdefault(m, {"fit_seconds": 0.0, "epochs": row.get("epochs"),
-                                       "n": 0, "group_sizes": set()})
+                                       "n": 0, "group_sizes": set(),
+                                       "load_seconds": 0.0, "archive_seconds": 0.0})
             # stacked rows repeat the group's shared fit_seconds per subject
-            g = row.get("group_size", 1)
+            g = row.get("group_size") or 1
             d["fit_seconds"] += fs / g
+            d["load_seconds"] += (row.get("load_seconds") or 0.0) / g
+            d["archive_seconds"] += row.get("archive_seconds") or 0.0
             d["n"] += 1
             d["group_sizes"].add(g)
     full_epochs = {"eeg": 200, "audio": 25, "vision": 15, "fusion": 100}
@@ -156,6 +159,8 @@ def main():
             "full_protocol_minutes_est": round(d["fit_seconds"] * scale / 60, 1),
             "subjects": d["n"],
             "group_sizes": sorted(d["group_sizes"]),
+            "load_minutes": round(d["load_seconds"] / 60, 1),
+            "archive_minutes": round(d["archive_seconds"] / 60, 1),
         }
     print(json.dumps({"sweep_journal_summary": report}, indent=2), flush=True)
 
