@@ -274,8 +274,13 @@ def _vit_finetune() -> FinetuneConfig:
         ),
         vote_group=25,
         # raw uint8 frames to device (resize+normalize fold into the model);
-        # bf16 MXU matmuls (+29% measured on v5e), f32 params/softmax
-        model_kwargs={"preprocess_uint8": True, "compute_dtype": "bfloat16"},
+        # bf16 MXU matmuls (+29% measured on v5e), f32 params/softmax.
+        # stream_dtype bf16: +16% step (753 -> 877 samples/s, ~47% MFU,
+        # scripts/vit_ablation.py round 3). attn_impl stays 'xla': flash
+        # MEASURED SLOWER at T=197 (558 samples/s — short rows pad to the
+        # kernel's block minimum; flash wins from ~1k tokens, see AST).
+        model_kwargs={"preprocess_uint8": True, "compute_dtype": "bfloat16",
+                      "stream_dtype": "bfloat16"},
     )
 
 

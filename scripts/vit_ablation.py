@@ -32,9 +32,9 @@ rng = np.random.default_rng(0)
 x8 = jnp.asarray(rng.integers(0, 256, size=(BS, 224, 224, 3), dtype=np.uint8))
 y = jnp.asarray(rng.integers(0, 5, size=(BS,)).astype(np.int32))
 
-# ViT-base fwd ~= 2*(197*768*(3*768+768) attn proj + 197^2*768*2 scores
-# + 2*197*768*3072 mlp)*12 + patch gemm; analytic fwd+bwd(2x) per sample:
-FLOP_PER_SAMPLE = 3 * 17.6e9  # ~52.7 GFLOP (ViT-base @224, incl. patch proj)
+# ViT-base fwd: 197 tokens x ~172 MFLOP/token (2*86M params) + attention
+# scores ~= 35.2 GFLOP (the oft-quoted "17.6G" is MACs); fwd+bwd = 3x fwd.
+FLOP_PER_SAMPLE = 3 * 35.2e9  # ~105.7 GFLOP (ViT-base @224)
 
 variants = [
     ("base (bf16, xla-attn, f32 stream)", dict(compute_dtype=jnp.bfloat16, preprocess_uint8=True)),
