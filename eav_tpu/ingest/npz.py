@@ -14,8 +14,9 @@ cache opens in <1 s and pages in at disk speed on first touch.
 The returned arrays are READ-ONLY views (the mmap is kept alive via the
 buffer-protocol base chain). Callers that need to mutate must copy; the
 pipelines only slice/stack/transfer them, which is exactly the case views
-serve. Non-STORED members (e.g. ``np.savez_compressed``) and pickled objects
-fall back to ``np.load`` semantics per member.
+serve. Non-STORED members (e.g. ``np.savez_compressed``) fall back to the
+decompressing path; object/pickled members are refused, matching
+``np.load``'s ``allow_pickle=False`` default.
 
 This replaces the reference's repeated full-decode of raw .mat/.wav/.mp4
 inputs per run (`Dataload_vision.py:102-150` re-extracts frames every time);
@@ -48,15 +49,28 @@ def _member_view(mm: mmap.mmap, info: zipfile.ZipInfo) -> memoryview:
 
 def _array_from_view(view: memoryview) -> np.ndarray:
     """Parse one ``.npy`` member from its mapped bytes without copying."""
-    bio = io.BytesIO(view[: min(len(view), 4096)].tobytes())
+    # header size: magic(6) + version(2) + a 2-byte (v1) or 4-byte (v2/v3)
+    # little-endian header length — read exactly what the file declares
+    # instead of guessing a cap (structured dtypes can have multi-KB headers)
+    major = view[6]
+    if major == 1:
+        (hlen,) = struct.unpack("<H", view[8:10])
+        start = 10 + hlen
+    else:
+        (hlen,) = struct.unpack("<I", view[8:12])
+        start = 12 + hlen
+    bio = io.BytesIO(view[:start].tobytes())
     version = _npfmt.read_magic(bio)
     shape, fortran, dtype = _npfmt._read_array_header(bio, version)  # noqa: SLF001
-    start = bio.tell()
-    if dtype.hasobject:  # pickled payload — no zero-copy representation
-        return np.load(io.BytesIO(view.tobytes()), allow_pickle=True)
+    if dtype.hasobject:  # np.load's allow_pickle=False default: refuse
+        raise ValueError(
+            "Object arrays cannot be loaded via fast_npz_load (pickled "
+            "payloads are refused, matching np.load's allow_pickle=False)"
+        )
     count = int(np.prod(shape)) if shape else 1
     arr = np.frombuffer(view, dtype=dtype, count=count, offset=start)
-    return arr.reshape(shape, order="F" if fortran else "C") if shape else arr[0]
+    # 0-d members return 0-d ndarray views, exactly like np.load
+    return arr.reshape(shape, order="F" if fortran else "C")
 
 
 def fast_npz_load(path: str) -> Dict[str, np.ndarray]:

@@ -73,6 +73,21 @@ def overlay_params(base, update):
     return update
 
 
+def _scan_eval(apply, xs, n: int, bs: int):
+    """Evaluate ``apply`` over ``xs`` in one fused ``lax.scan``: indices are
+    clamped so the padded tail batch repeats the last row (no mutable state
+    in eval, padded rows sliced off the result). Shared by the phase
+    programs' per-epoch eval and the public ``predict``."""
+    steps = -(-n // bs)
+    idx = jnp.minimum(jnp.arange(steps * bs), n - 1).reshape(steps, bs)
+
+    def body(_, ix):
+        return None, apply(xs[ix])
+
+    _, logits = jax.lax.scan(body, None, idx)
+    return logits.reshape(steps * bs, -1)[:n]
+
+
 def cross_entropy(logits, labels, weights, compat_softmax: bool = False):
     """Weighted-mean CE. ``compat_softmax=True`` replicates the reference's
     double-softmax quirk (Softmax layer feeding CrossEntropyLoss,
@@ -151,19 +166,11 @@ class JitTrainer:
         steps_full = n_train // bs
         rem = n_train % bs
         eval_bs = min(cfg.eval_batch_size or bs, n_test)
-        eval_steps = -(-n_test // eval_bs)
 
         def eval_logits(params, bstats, te_x):
-            # eval may pad (clamped indices): no mutable state, and the
-            # padded rows are sliced off the result
-            idx = jnp.arange(eval_steps * eval_bs)
-            idx = jnp.minimum(idx, n_test - 1).reshape(eval_steps, eval_bs)
-
-            def body(_, ix):
-                return None, self._apply_eval(params, bstats, te_x[ix])
-
-            _, logits = jax.lax.scan(body, None, idx)
-            return logits.reshape(eval_steps * eval_bs, -1)[:n_test]
+            return _scan_eval(
+                lambda b: self._apply_eval(params, bstats, b), te_x, n_test, eval_bs
+            )
 
         def train_step(carry, idx, tr_x, tr_y, lr):
             params, bstats, opt_state, rng = carry
@@ -336,16 +343,11 @@ class JitTrainer:
             self._predict_fused = {}
         key = (bs, n, str(x.dtype))
         if key not in self._predict_fused:
-            steps = -(-n // bs)
 
             def fused(params, bstats, xs):
-                idx = jnp.minimum(jnp.arange(steps * bs), n - 1).reshape(steps, bs)
-
-                def body(_, ix):
-                    return None, self._apply_eval(params, bstats, xs[ix])
-
-                _, logits = jax.lax.scan(body, None, idx)
-                return logits.reshape(steps * bs, -1)[:n]
+                return _scan_eval(
+                    lambda b: self._apply_eval(params, bstats, b), xs, n, bs
+                )
 
             self._predict_fused[key] = jax.jit(fused)
         return np.asarray(self._predict_fused[key](params, bstats, x))

@@ -65,7 +65,13 @@ def _cached(cache_dir: Optional[str], key: str, compute: Callable[[], Tuple[np.n
         return z["x"], z["y"]
     x, y = compute()
     os.makedirs(cache_dir, exist_ok=True)
-    np.savez(path, x=x, y=y)
+    # write-then-rename: fast_npz_load readers hold mmap views of the old
+    # inode, so a concurrent rebuild must never truncate the file in place
+    # (silent data change / SIGBUS under the reader) — os.replace keeps the
+    # old inode alive until the last view drops
+    tmp = path + f".{os.getpid()}.tmp.npz"  # savez appends .npz unless present
+    np.savez(tmp, x=x, y=y)
+    os.replace(tmp, path)
     return x, y
 
 
