@@ -173,6 +173,15 @@ class FinetuneConfig:
     # notebook C14 cell0:189-209)
     l1_reg: float = 0.0
     l2_reg: float = 0.0
+    # Frozen-phase feature cache: when a phase freezes everything but the
+    # head (`Transformer_Audio.py:53-56` protocol) and the model declares a
+    # features/head split (models/{ast,vit}.py ``supports_head_mode``), the
+    # backbone outputs are constant across the phase — compute them once and
+    # replay the frozen epochs on cached (B, hidden) features. Numerically
+    # the same math (gated off automatically for dropout>0 / batch-stats /
+    # max-norm / l1-l2 models, train/loop.py ``_frozen_cache_ok``); disable
+    # with --set to force the full per-step backbone forward.
+    cache_frozen_features: bool = True
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

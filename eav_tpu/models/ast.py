@@ -50,6 +50,14 @@ class AST(nn.Module):
     # f32 default; the TPU preset opts in via model_kwargs.
     stream_dtype: object = None
 
+    # the frozen fine-tune phase trains only classifier_ln + classifier
+    # (head_regex, `Transformer_Audio.py:53-56`), so the trainer can compute
+    # the pooled backbone features ONCE and replay the frozen epochs on them
+    # (train/loop.py frozen-feature cache) — this flag declares the
+    # mode='features'/'head' split below exists and is exact (no dropout at
+    # rate 0, no batch stats anywhere in the backbone).
+    supports_head_mode = True
+
     @property
     def num_patches(self) -> int:
         f = (self.num_mel_bins - self.patch_size) // self.frequency_stride + 1
@@ -57,7 +65,16 @@ class AST(nn.Module):
         return f * t
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mode: str = "full"
+    ) -> jnp.ndarray:
+        """``mode``: 'full' = spectrogram -> logits; 'features' = stop at the
+        pooled (B, hidden) backbone output (everything the frozen phase never
+        updates); 'head' = ``x`` IS that pooled tensor, apply classifier_ln +
+        classifier only. full(x) == head(features(x)) by construction."""
+        if mode == "head":
+            h = nn.LayerNorm(epsilon=self.eps, name="classifier_ln")(x)
+            return nn.Dense(self.num_labels, name="classifier")(h)
         b = x.shape[0]
         # (B, frames, mels) -> (B, mels[freq-H], frames[time-W], 1): matches
         # HF's unsqueeze(1).transpose(2,3) NCHW conv in NHWC form.
@@ -92,6 +109,8 @@ class AST(nn.Module):
         )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x.astype(jnp.float32))
         pooled = (x[:, 0] + x[:, 1]) / 2.0
+        if mode == "features":
+            return pooled
         h = nn.LayerNorm(epsilon=self.eps, name="classifier_ln")(pooled)
         return nn.Dense(self.num_labels, name="classifier")(h)
 

@@ -37,14 +37,28 @@ class ViT(nn.Module):
     # than host-preprocessed float32).
     preprocess_uint8: bool = False
 
+    # frozen phases train only the classifier Dense (head_regex; HF keeps
+    # final_ln in the backbone, `Transformer_Vision.py:30`) — declares the
+    # mode='features'/'head' split for the trainer's frozen-feature cache
+    # (train/loop.py); exact because the backbone has no batch stats and the
+    # preset dropout is 0.0.
+    supports_head_mode = True
+
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mode: str = "full"
+    ) -> jnp.ndarray:
         """``x``: (B, H, W, 3) NHWC — processor-normalized floats, or raw
-        uint8 frames when ``preprocess_uint8`` (any H, W)."""
+        uint8 frames when ``preprocess_uint8`` (any H, W). ``mode``: 'full' =
+        frames -> logits; 'features' = stop at the post-final_ln CLS vector
+        (B, hidden); 'head' = ``x`` IS that vector, apply the classifier
+        Dense only. full(x) == head(features(x)) by construction."""
+        if mode == "head":
+            return nn.Dense(self.num_labels, name="classifier")(x)
         b = x.shape[0]
         if self.preprocess_uint8:
             import jax
@@ -82,6 +96,8 @@ class ViT(nn.Module):
             name="encoder",
         )(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.eps, name="final_ln")(x.astype(jnp.float32))
+        if mode == "features":
+            return x[:, 0]
         return nn.Dense(self.num_labels, name="classifier")(x[:, 0])
 
 

@@ -144,6 +144,44 @@ class JitTrainer:
             {"params": params, "batch_stats": bstats}, x, train=False
         )
 
+    # -- frozen-feature cache (models with a features/head split) ----------
+
+    def _apply_train_head(self, params, bstats, f, rng):
+        # rng is split per step exactly like the full path (rng-sequence
+        # parity: phase 2 must start from the same key either way); the head
+        # has no dropout so the key itself is unused.
+        out = self.model.apply(
+            {"params": params}, f, train=True, mode="head", rngs={"dropout": rng}
+        )
+        return out, bstats
+
+    def _apply_eval_head(self, params, bstats, f):
+        return self.model.apply({"params": params}, f, train=False, mode="head")
+
+    def _frozen_cache_ok(self) -> bool:
+        """A frozen phase may run on cached backbone features only when that
+        is the same math: the model declares the split (`supports_head_mode`),
+        nothing stochastic or stateful lives in the backbone (dropout 0, no
+        max-norm projection — it would touch frozen leaves), and the loss has
+        no whole-tree regularizers (l1/l2 sum over ALL kernels)."""
+        return bool(
+            self.cfg.cache_frozen_features
+            and getattr(self.model, "supports_head_mode", False)
+            and getattr(self.model, "dropout", 1.0) == 0.0
+            and not self.maxnorm_rules
+            and not self.cfg.l1_reg
+            and not self.cfg.l2_reg
+        )
+
+    def extract_features(self, params, bstats, x, batch_size: Optional[int] = None):
+        """Pooled backbone features (mode='features') for a whole split —
+        fused scan on accelerators, per-batch jit loop on CPU (same split as
+        ``predict`` and for the same reasons)."""
+        apply = lambda p, b, c: self.model.apply(  # noqa: E731
+            {"params": p, "batch_stats": b}, c, train=False, mode="features"
+        )
+        return self._batched_apply(params, bstats, x, batch_size, apply, "_feat")
+
     # -- phase program ----------------------------------------------------
 
     def build_phase_fn(self, mask, epochs: int, n_train: int, n_test: int):
@@ -151,10 +189,15 @@ class JitTrainer:
         vmap-over-subjects composition (parallel/subject.py)."""
         return self._build_phase(mask, epochs, n_train, n_test, jit=False)
 
-    def _phase_pieces(self, mask, n_train: int, n_test: int):
+    def _phase_pieces(self, mask, n_train: int, n_test: int, head: bool = False):
         """Shared building blocks: (train_step, eval_logits, batching dims).
         Both phase implementations compose these identically, so they are
         bit-for-bit equivalent (same RNG split order, same exact batching).
+
+        ``head``: the frozen-feature fast path — tr_x/te_x are cached
+        (B, hidden) backbone features and the model applies in mode='head'.
+        Identical epoch/step/RNG structure, so the carried rng leaves a head
+        phase exactly as it would the full program.
 
         Batching matches torch DataLoader ``drop_last=False`` exactly: the
         final partial batch runs at its TRUE size (a second static shape)
@@ -166,10 +209,12 @@ class JitTrainer:
         steps_full = n_train // bs
         rem = n_train % bs
         eval_bs = min(cfg.eval_batch_size or bs, n_test)
+        apply_train = self._apply_train_head if head else self._apply_train
+        apply_eval = self._apply_eval_head if head else self._apply_eval
 
         def eval_logits(params, bstats, te_x):
             return _scan_eval(
-                lambda b: self._apply_eval(params, bstats, b), te_x, n_test, eval_bs
+                lambda b: apply_eval(params, bstats, b), te_x, n_test, eval_bs
             )
 
         def train_step(carry, idx, tr_x, tr_y, lr):
@@ -179,7 +224,7 @@ class JitTrainer:
             w = jnp.ones(idx.shape, jnp.float32)
 
             def loss_fn(p):
-                logits, new_bstats = self._apply_train(p, bstats, bx, kd)
+                logits, new_bstats = apply_train(p, bstats, bx, kd)
                 loss = cross_entropy(logits, by, w, cfg.compat_softmax)
                 if cfg.l1_reg or cfg.l2_reg:  # Keras l1_l2 (notebook C14)
                     kernels = [
@@ -213,11 +258,12 @@ class JitTrainer:
 
         return train_step, eval_logits, epoch_perm, (bs, steps_full, rem)
 
-    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int, jit: bool = True):
+    def _build_phase(self, mask, epochs: int, n_train: int, n_test: int,
+                     jit: bool = True, head: bool = False):
         """The fused phase program: lax.scan over epochs around lax.scan over
         steps — ONE device program per phase (the TPU path)."""
         train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
-            self._phase_pieces(mask, n_train, n_test)
+            self._phase_pieces(mask, n_train, n_test, head=head)
         )
 
         def phase(params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr):
@@ -262,7 +308,8 @@ class JitTrainer:
         return jax.jit(phase, donate_argnums=(0, 2))
 
     def _run_phase_python(
-        self, mask, epochs, params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr
+        self, mask, epochs, params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
+        head: bool = False,
     ):
         """Host-loop phase driver, numerically identical to the scan program.
 
@@ -271,7 +318,7 @@ class JitTrainer:
         its own jitted call; TPU always uses the fused scan program."""
         n_train, n_test = int(tr_x.shape[0]), int(te_x.shape[0])
         train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
-            self._phase_pieces(mask, n_train, n_test)
+            self._phase_pieces(mask, n_train, n_test, head=head)
         )
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         eval_jit = jax.jit(eval_logits)
@@ -319,15 +366,29 @@ class JitTrainer:
         vision archive (round-3 journal archive_seconds). CPU keeps the
         per-batch jit loop (XLA:CPU lowers convs inside scan bodies ~130x
         slower than standalone — same reason as _run_phase_python)."""
+        return np.asarray(
+            self._batched_apply(params, bstats, x, batch_size, self._apply_eval, "_pred")
+        )
+
+    def _batched_apply(self, params, bstats, x, batch_size, apply, cache_tag: str):
+        """Whole-split batched apply: one fused scan program on accelerators,
+        per-batch jit loop on CPU (XLA:CPU lowers convs inside scan bodies
+        ~130x slower than standalone — same reason as _run_phase_python).
+        Returns a device array on accelerators (callers that need host data
+        wrap in ``np.asarray``)."""
         bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
         x = np.asarray(x)
         x = jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
         n = int(x.shape[0])
         bs = min(bs, n)
+        caches = getattr(self, "_batched_apply_cache", None)
+        if caches is None:
+            caches = self._batched_apply_cache = {}
         if jax.default_backend() == "cpu":
-            if not hasattr(self, "_predict_jit"):
-                self._predict_jit = jax.jit(self._apply_eval)
-            apply = self._predict_jit
+            key = (cache_tag, "cpu")
+            if key not in caches:
+                caches[key] = jax.jit(apply)
+            fn = caches[key]
             # pad the tail batch to keep one compiled shape
             outs = []
             for i in range(0, n, bs):
@@ -337,20 +398,16 @@ class JitTrainer:
                     chunk = jnp.concatenate(
                         [chunk, jnp.repeat(chunk[-1:], bs - m, axis=0)]
                     )
-                outs.append(np.asarray(apply(params, bstats, chunk))[:m])
+                outs.append(np.asarray(fn(params, bstats, chunk))[:m])
             return np.concatenate(outs, axis=0)
-        if not hasattr(self, "_predict_fused"):
-            self._predict_fused = {}
-        key = (bs, n, str(x.dtype))
-        if key not in self._predict_fused:
+        key = (cache_tag, bs, n, str(x.dtype))
+        if key not in caches:
 
             def fused(params, bstats, xs):
-                return _scan_eval(
-                    lambda b: self._apply_eval(params, bstats, b), xs, n, bs
-                )
+                return _scan_eval(lambda b: apply(params, bstats, b), xs, n, bs)
 
-            self._predict_fused[key] = jax.jit(fused)
-        return np.asarray(self._predict_fused[key](params, bstats, x))
+            caches[key] = jax.jit(fused)
+        return caches[key](params, bstats, x)
 
     def fit(
         self,
@@ -436,6 +493,19 @@ class JitTrainer:
                 continue
             mask = trainable_mask(params, phase_cfg.freeze, self.head_regex)
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
+            # frozen-feature fast path: the backbone is constant through a
+            # frozen phase, so run its epochs on once-computed pooled
+            # features — one backbone pass over train+test replaces
+            # epochs x (steps + eval) backbone forwards (same math; see
+            # _frozen_cache_ok for the exactness conditions)
+            use_head = bool(phase_cfg.freeze and not bstats and self._frozen_cache_ok())
+            if use_head:
+                px = self.extract_features(params, bstats, tr_x)
+                pe = self.extract_features(params, bstats, te_x)
+                if jax.default_backend() == "cpu":
+                    px, pe = jnp.asarray(px), jnp.asarray(pe)
+            else:
+                px, pe = tr_x, te_x
             if use_python_loop:
                 chunks = [phase_cfg.epochs]
             else:
@@ -448,19 +518,20 @@ class JitTrainer:
                     params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
                         self._run_phase_python(
                             mask, chunk_epochs, params, bstats, opt_state, rng,
-                            tr_x, tr_y, te_x, te_y, lr,
+                            px, tr_y, pe, te_y, lr, head=use_head,
                         )
                     )
                 else:
-                    key = (phase_cfg.freeze, chunk_epochs,
+                    key = (phase_cfg.freeze, chunk_epochs, use_head,
                            int(tr_x.shape[0]), int(te_x.shape[0]))
                     if key not in self._phase_fn_cache:
                         self._phase_fn_cache[key] = self._build_phase(
-                            mask, chunk_epochs, int(tr_x.shape[0]), int(te_x.shape[0])
+                            mask, chunk_epochs, int(tr_x.shape[0]), int(te_x.shape[0]),
+                            head=use_head,
                         )
                     params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
                         self._phase_fn_cache[key](
-                            params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr,
+                            params, bstats, opt_state, rng, px, tr_y, pe, te_y, lr,
                         )
                     )
                 hist_loss.append(np.asarray(lh))
