@@ -73,6 +73,19 @@ def overlay_params(base, update):
     return update
 
 
+def _ensure_device(x):
+    """Move ``x`` to device: uint8 kept as-is (4x smaller transfer; models
+    with ``preprocess_uint8`` normalize on device), everything else float32.
+    Arrays ALREADY on device pass through untouched — ``np.asarray`` on a
+    device array would round-trip the whole split D2H+H2D, which through the
+    ~20 MB/s axon tunnel costs minutes at vision shape (the round-3 frozen-
+    cache regression: 732 s vs 55 s warm fit)."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype in (jnp.uint8, jnp.float32) else x.astype(jnp.float32)
+    x = np.asarray(x)
+    return jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
+
+
 def _scan_eval(apply, xs, n: int, bs: int):
     """Evaluate ``apply`` over ``xs`` in one fused ``lax.scan``: indices are
     clamped so the padded tail batch repeats the last row (no mutable state
@@ -377,8 +390,7 @@ class JitTrainer:
         Returns a device array on accelerators (callers that need host data
         wrap in ``np.asarray``)."""
         bs = batch_size or (self.cfg.eval_batch_size or self.cfg.batch_size)
-        x = np.asarray(x)
-        x = jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
+        x = _ensure_device(x)
         n = int(x.shape[0])
         bs = min(bs, n)
         caches = getattr(self, "_batched_apply_cache", None)
@@ -434,14 +446,8 @@ class JitTrainer:
         row)."""
         tr_x, tr_y, te_x, te_y = data
 
-        def to_device(x):
-            # keep uint8 as-is (4x smaller transfer; models with
-            # preprocess_uint8 normalize on device), else float32
-            x = np.asarray(x)
-            return jnp.asarray(x) if x.dtype == np.uint8 else jnp.asarray(x, jnp.float32)
-
-        tr_x = to_device(tr_x)
-        te_x = to_device(te_x)
+        tr_x = _ensure_device(tr_x)
+        te_x = _ensure_device(te_x)
         tr_y = jnp.asarray(np.asarray(tr_y).reshape(-1), jnp.int32)
         te_y = jnp.asarray(np.asarray(te_y).reshape(-1), jnp.int32)
         if mesh is not None:

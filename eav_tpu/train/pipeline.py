@@ -34,7 +34,7 @@ from eav_tpu.core.config import (
 )
 from eav_tpu.core.sweep import TaskResult
 from eav_tpu.ingest.split import eav_split
-from eav_tpu.train.loop import JitTrainer
+from eav_tpu.train.loop import JitTrainer, _ensure_device
 
 
 def default_presets() -> Dict[str, PresetConfig]:
@@ -293,6 +293,10 @@ class ModalityPipelines:
         t0 = time.perf_counter()
         x, y = self.load_eeg(subject, preset_key)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
+        # one H2D at load time; fit() and the archive predict() share the
+        # device copy instead of each paying a tunnel transfer (loop.py
+        # _ensure_device passes device arrays through untouched)
+        data = (_ensure_device(data[0]), data[1], _ensure_device(data[2]), data[3])
         load_s = time.perf_counter() - t0
         trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
@@ -315,6 +319,7 @@ class ModalityPipelines:
         t0 = time.perf_counter()
         x, y = self.load_audio(subject, frontend)
         data = eav_split(x, y, h_idx=preset.split.h_idx)
+        data = (_ensure_device(data[0]), data[1], _ensure_device(data[2]), data[3])
         load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(key, preset)
@@ -348,6 +353,7 @@ class ModalityPipelines:
             size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
             tr_f = preprocess_frames(tr_f, size=size)
             te_f = preprocess_frames(te_f, size=size)
+        tr_f, te_f = _ensure_device(tr_f), _ensure_device(te_f)
         load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(preset_key, preset)
