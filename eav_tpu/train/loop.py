@@ -512,7 +512,11 @@ class JitTrainer:
                     px, pe = jnp.asarray(px), jnp.asarray(pe)
             else:
                 px, pe = tr_x, te_x
-            if use_python_loop:
+            if use_python_loop or use_head:
+                # epochs_per_call exists because runtimes can bound a single
+                # execution's duration — a head-mode phase executes in
+                # milliseconds regardless of epochs, so chunking it only
+                # pays per-call dispatch; run it as one program
                 chunks = [phase_cfg.epochs]
             else:
                 epc = self.epochs_per_call or phase_cfg.epochs
