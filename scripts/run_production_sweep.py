@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--out", default="/tmp/sweep_prod")
     ap.add_argument("--subject-parallel", type=int, default=8)
     ap.add_argument("--skip-fusion", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="run the FULL published protocols (no epoch shrink) "
+                    "— ~3.5 h single-chip with the round-3 frozen-feature "
+                    "cache + device-resident splits")
     args = ap.parse_args()
 
     out = args.out
@@ -101,7 +105,7 @@ def main():
         "--out", out, "--cache-dir", cache,
         "--epochs-per-call", "2",  # axon tunnel kills multi-minute executions
     ]
-    shrink = [
+    shrink = [] if args.full else [
         "--set", "audio.finetune.phases.0.epochs=1",
         "--set", "audio.finetune.phases.1.epochs=2",
         "--set", "vision.finetune.phases.0.epochs=2",
