@@ -131,6 +131,22 @@ def test_gating():
     )._frozen_cache_ok()
 
 
+def test_production_presets_engage_cache():
+    """The flagship presets must keep the cache engaged — dropout>0 or a
+    maxnorm rule sneaking into a preset would silently fall back to the
+    ~2x-slower full frozen path (docs/ROUND3.md measured 182.4 -> 140.8 s
+    vision, 115 -> 76 s audio warm subject)."""
+    from eav_tpu.train.pipeline import build_model, default_presets
+
+    presets = default_presets()
+    for key in ("audio", "vision"):
+        preset = presets[key]
+        model, kw = build_model(preset)
+        trainer = JitTrainer(model, preset.finetune, **kw)
+        assert trainer._frozen_cache_ok(), key
+        assert any(p.freeze for p in preset.finetune.phases), key
+
+
 def test_head_mode_matches_full_forward():
     """full(x) == head(features(x)) on the same params."""
     rng = np.random.default_rng(3)
