@@ -122,7 +122,10 @@ def _run_sweep(args, cfg, runner, pipelines) -> int:
                         lambda subs, m=mod: pipelines.run_stacked(subs, m),
                         group_size=group,
                     )
-    runner.run(verbose=True)
+    # serial tasks overlap the NEXT subject's ingest + H2D with the current
+    # fit (core/sweep.py run prefetch_fn) — on real data this hides the mp4
+    # decode + face-crop pipeline under device compute
+    runner.run(verbose=True, prefetch_fn=pipelines.prefetch)
     print(json.dumps(runner.aggregate(), indent=2))
     return 0
 

@@ -84,9 +84,23 @@ class SweepRunner:
                     tasks.append((subject, modality))
         return tasks
 
-    def run(self, verbose: bool = True) -> Dict[str, dict]:
+    def run(self, verbose: bool = True, prefetch_fn=None) -> Dict[str, dict]:
+        """``prefetch_fn(subject, modality)``: optional — launched in a
+        daemon thread for task N+1 as task N starts, overlapping the next
+        task's ingest/H2D with the current task's device compute (the
+        pipelines' ``ModalityPipelines.prefetch``). Joined before task N+1
+        runs, so the consumer never races the producer."""
+        import threading
+
         state = self.journal_state()
-        for subject, modality in self.pending_tasks():
+        tasks = self.pending_tasks()
+        for i, (subject, modality) in enumerate(tasks):
+            prefetch_thread = None
+            if prefetch_fn is not None and i + 1 < len(tasks):
+                prefetch_thread = threading.Thread(
+                    target=prefetch_fn, args=tasks[i + 1], daemon=True
+                )
+                prefetch_thread.start()
             tid = self._task_id(subject, modality)
             attempts = state.get(tid, {}).get("attempts", 0) + 1
             t0 = time.perf_counter()
@@ -124,6 +138,8 @@ class SweepRunner:
             state[tid] = rec
             if verbose and rec["status"] == "done":
                 print(f"[sweep] {tid} done in {rec['wall_clock_s']}s")
+            if prefetch_thread is not None:
+                prefetch_thread.join()
         return state
 
     def run_batched(

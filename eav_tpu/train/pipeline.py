@@ -18,7 +18,7 @@ import json
 import os
 import time
 from dataclasses import asdict
-from typing import Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -191,6 +191,8 @@ class ModalityPipelines:
         # per-subject rebuild was paying re-trace + executable reload —
         # measured ~60 s/subject through the remote-compile tunnel
         self._trainers: Dict[str, JitTrainer] = {}
+        # (modality, subject) -> device-resident split parked by ``prefetch``
+        self._prefetched: Dict[Tuple[str, int], Any] = {}
 
     def _trainer(self, preset_key: str, preset) -> "JitTrainer":
         t = self._trainers.get(preset_key)
@@ -288,15 +290,79 @@ class ModalityPipelines:
             metrics["archive_seconds"] = round(archive_seconds or 0.0, 3)
         return TaskResult(metrics=metrics, artifacts={"params": result.params})
 
+    # -- split loaders (ingest + h_idx split + device placement) -----------
+    # One H2D at load time; fit() and the archive predict() share the device
+    # copy instead of each paying a tunnel transfer (loop.py _ensure_device
+    # passes device arrays through untouched). Each is also a prefetch unit:
+    # the sweep runner calls ``prefetch`` for the NEXT task concurrently with
+    # the current fit, overlapping host decode/cache IO and the H2D transfer
+    # with device compute (SURVEY.md §7.3 hard part 4: the host media
+    # pipeline must not dominate the sweep).
+
+    def _load_split_eeg(self, subject: int, preset_key: str):
+        preset = self.presets[preset_key]
+        x, y = self.load_eeg(subject, preset_key)
+        d = eav_split(x, y, h_idx=preset.split.h_idx)
+        return (_ensure_device(d[0]), d[1], _ensure_device(d[2]), d[3])
+
+    def _load_split_audio(self, subject: int, key: str, frontend: str):
+        preset = self.presets[key]
+        x, y = self.load_audio(subject, frontend)
+        d = eav_split(x, y, h_idx=preset.split.h_idx)
+        return (_ensure_device(d[0]), d[1], _ensure_device(d[2]), d[3])
+
+    def _load_split_vision(self, subject: int, preset_key: str):
+        from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
+
+        preset = self.presets[preset_key]
+        x, y = self.load_vision(subject, preset_key)  # (trials, frames, H, W, 3) uint8
+        tr_x, tr_y, te_x, te_y = eav_split(x, y, h_idx=preset.split.h_idx)
+        fps = x.shape[1]
+        tr_f, tr_fy = flatten_trials_to_frames(tr_x, tr_y)
+        te_f, te_fy = flatten_trials_to_frames(te_x, te_y)
+        if not (preset.finetune.model_kwargs or {}).get("preprocess_uint8"):
+            # host path: model expects processor-normalized floats
+            size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
+            tr_f = preprocess_frames(tr_f, size=size)
+            te_f = preprocess_frames(te_f, size=size)
+        return _ensure_device(tr_f), tr_fy, _ensure_device(te_f), te_fy, fps
+
+    _PREFETCH_LOADERS = {
+        "eeg": ("_load_split_eeg", ("eeg",)),
+        "eeg_conformer": ("_load_split_eeg", ("eeg_conformer",)),
+        "audio": ("_load_split_audio", ("audio", "fbank")),
+        "audio_scnn": ("_load_split_audio", ("audio_scnn", "scnn180")),
+        "vision": ("_load_split_vision", ("vision",)),
+        "vision_resnet": ("_load_split_vision", ("vision_resnet",)),
+    }
+
+    def prefetch(self, subject: int, modality: str) -> None:
+        """Best-effort: run a coming task's split loader and park the device-
+        resident result for its ``run_*`` to consume. Called by the sweep
+        runner in a thread concurrent with the previous task's fit; failures
+        are swallowed (the task will redo the load and surface the error in
+        its own journal record)."""
+        spec = self._PREFETCH_LOADERS.get(modality)
+        if spec is None:  # fusion etc. — load is trivial
+            return
+        try:
+            data = getattr(self, spec[0])(subject, *spec[1])
+            self._prefetched.clear()  # hold at most one subject's splits
+            self._prefetched[(modality, subject)] = data
+        except Exception as e:  # noqa: BLE001 — best-effort by design
+            print(f"[prefetch] subject{subject:02d} {modality} failed ({e}); "
+                  "task will load inline")
+
+    def _take_or_load(self, subject: int, modality: str, loader):
+        data = self._prefetched.pop((modality, subject), None)
+        return loader() if data is None else data
+
     def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:
         preset = self.presets[preset_key]
         t0 = time.perf_counter()
-        x, y = self.load_eeg(subject, preset_key)
-        data = eav_split(x, y, h_idx=preset.split.h_idx)
-        # one H2D at load time; fit() and the archive predict() share the
-        # device copy instead of each paying a tunnel transfer (loop.py
-        # _ensure_device passes device arrays through untouched)
-        data = (_ensure_device(data[0]), data[1], _ensure_device(data[2]), data[3])
+        data = self._take_or_load(
+            subject, preset_key, lambda: self._load_split_eeg(subject, preset_key)
+        )
         load_s = time.perf_counter() - t0
         trainer = self._trainer(preset_key, preset)
         t0 = time.perf_counter()
@@ -317,9 +383,9 @@ class ModalityPipelines:
         key = "audio" if frontend == "fbank" else "audio_scnn"
         preset = self.presets[key]
         t0 = time.perf_counter()
-        x, y = self.load_audio(subject, frontend)
-        data = eav_split(x, y, h_idx=preset.split.h_idx)
-        data = (_ensure_device(data[0]), data[1], _ensure_device(data[2]), data[3])
+        data = self._take_or_load(
+            subject, key, lambda: self._load_split_audio(subject, key, frontend)
+        )
         load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(key, preset)
@@ -339,21 +405,11 @@ class ModalityPipelines:
                             load_seconds=load_s, archive_seconds=archive_s)
 
     def run_vision(self, subject: int, preset_key: str = "vision") -> TaskResult:
-        from eav_tpu.ingest.vision import flatten_trials_to_frames, preprocess_frames
-
         preset = self.presets[preset_key]
         t0 = time.perf_counter()
-        x, y = self.load_vision(subject, preset_key)  # (trials, frames, H, W, 3) uint8
-        tr_x, tr_y, te_x, te_y = eav_split(x, y, h_idx=preset.split.h_idx)
-        fps = x.shape[1]
-        tr_f, tr_fy = flatten_trials_to_frames(tr_x, tr_y)
-        te_f, te_fy = flatten_trials_to_frames(te_x, te_y)
-        if not (preset.finetune.model_kwargs or {}).get("preprocess_uint8"):
-            # host path: model expects processor-normalized floats
-            size = (preset.finetune.model_kwargs or {}).get("image_size", 224)
-            tr_f = preprocess_frames(tr_f, size=size)
-            te_f = preprocess_frames(te_f, size=size)
-        tr_f, te_f = _ensure_device(tr_f), _ensure_device(te_f)
+        tr_f, tr_fy, te_f, te_fy, fps = self._take_or_load(
+            subject, preset_key, lambda: self._load_split_vision(subject, preset_key)
+        )
         load_s = time.perf_counter() - t0
         init_params, init_bstats = _pretrained_params(preset.finetune.model, 5)
         trainer = self._trainer(preset_key, preset)

@@ -154,3 +154,65 @@ def test_bisection_bottom_falls_back_to_serial(tmp_path):
     assert serial_calls == [(1, "vision"), (2, "vision")]
     assert runner.pending_tasks() == []
     assert runner.aggregate()["vision"]["n_subjects"] == 2
+
+
+def test_run_prefetch_overlap(tmp_path):
+    """run(prefetch_fn=...) launches the NEXT task's prefetch concurrently
+    with the current task and joins it before that task runs — every task
+    except the first must find its data already parked (the pipelines'
+    prefetch contract, train/pipeline.ModalityPipelines.prefetch)."""
+    import threading
+
+    parked = {}
+    hits = []
+    lock = threading.Lock()
+
+    def prefetch(subject, modality):
+        with lock:
+            parked[(modality, subject)] = f"data-{modality}-{subject}"
+
+    def task(subject, modality):
+        with lock:
+            hits.append(((modality, subject) in parked, subject, modality))
+            parked.pop((modality, subject), None)
+        return TaskResult(metrics={"accuracy": 0.5})
+
+    runner = SweepRunner(_cfg(tmp_path), task)
+    state = runner.run(verbose=False, prefetch_fn=prefetch)
+    assert all(r["status"] == "done" for r in state.values())
+    # 6 tasks: the first cannot have been prefetched, the rest must be
+    assert hits[0][0] is False
+    assert all(h[0] for h in hits[1:]), hits
+
+
+def test_pipeline_prefetch_matches_inline_load(tmp_path):
+    """A prefetched subject must produce the identical TaskResult as the
+    inline load (same ingest, same split, same device placement)."""
+    from eav_tpu.core.config import apply_overrides
+    from eav_tpu.train.pipeline import ModalityPipelines, _cfg_hash, default_presets
+
+    presets = apply_overrides(default_presets(), [
+        "eeg.finetune.model_kwargs.kern_length=8",
+        "eeg.finetune.phases.0.epochs=2",
+        "eeg.split.h_idx=2",
+    ])
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20, 30, 500)).astype(np.float32)
+    y = np.repeat(np.arange(5), 4).astype(np.int32)
+    results = {}
+    for tag in ("inline", "prefetched"):
+        cache = tmp_path / tag / "cache"
+        os.makedirs(cache)
+        np.savez(cache / f"s01_eeg_{_cfg_hash(presets['eeg'].eeg)}.npz", x=x, y=y)
+        p = ModalityPipelines("/nonexistent", cache_dir=str(cache),
+                              logits_dir=str(tmp_path / tag / "logits"),
+                              presets=presets)
+        if tag == "prefetched":
+            p.prefetch(1, "eeg")
+            assert ("eeg", 1) in p._prefetched
+        results[tag] = p.run_eeg(1)
+        assert not p._prefetched  # consumed (or never parked)
+    assert results["inline"].metrics["accuracy"] == results["prefetched"].metrics["accuracy"]
+    a = np.load(tmp_path / "inline" / "logits" / "s01_eeg_train.npy")
+    b = np.load(tmp_path / "prefetched" / "logits" / "s01_eeg_train.npy")
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
