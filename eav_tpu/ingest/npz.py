@@ -49,6 +49,15 @@ def _member_view(mm: mmap.mmap, info: zipfile.ZipInfo) -> memoryview:
 
 def _array_from_view(view: memoryview) -> np.ndarray:
     """Parse one ``.npy`` member from its mapped bytes without copying."""
+    # The mapped path skips zipfile's per-chunk CRC32 (that's the speedup),
+    # so validate the member's npy magic at the computed offset — it catches
+    # offset-arithmetic bugs and header corruption for free. Body bit-rot is
+    # accepted as out of scope, same as np.load on an uncompressed .npy.
+    if bytes(view[:6]) != b"\x93NUMPY":
+        raise ValueError(
+            "npz member does not start with the .npy magic at its computed "
+            "data offset — corrupted archive or non-savez layout"
+        )
     # header size: magic(6) + version(2) + a 2-byte (v1) or 4-byte (v2/v3)
     # little-endian header length — read exactly what the file declares
     # instead of guessing a cap (structured dtypes can have multi-KB headers)

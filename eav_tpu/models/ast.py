@@ -55,8 +55,11 @@ class AST(nn.Module):
     # the pooled backbone features ONCE and replay the frozen epochs on them
     # (train/loop.py frozen-feature cache) — this flag declares the
     # mode='features'/'head' split below exists and is exact (no dropout at
-    # rate 0, no batch stats anywhere in the backbone).
+    # rate 0, no batch stats anywhere in the backbone). head_mode_regex is
+    # the trainable set the 'head' graph covers; the trainer only engages
+    # the cache when its head_regex matches exactly.
     supports_head_mode = True
+    head_mode_regex = r"(^|/)(head|classifier(_ln)?)(/|$)"
 
     @property
     def num_patches(self) -> int:

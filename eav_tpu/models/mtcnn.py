@@ -368,6 +368,32 @@ class MTCNNDetector:
             wx[i, :, x1:x2] = resize_weight_matrix(x2 - x1, size)
         return wy, wx
 
+    # crop programs gather a float32 frame copy per candidate box
+    # ((M, H, W, 3) inside _gather_crops) — at real clip scale (100 frames x
+    # ~50 stage-1 survivors) an unchunked M would need tens of GB of HBM, so
+    # every crop call runs in bounded chunks of this many boxes (256 boxes @
+    # 480p ≈ 0.9 GB transient)
+    crop_chunk = 256
+
+    def _run_crops_chunked(self, call, idx: np.ndarray, wy: np.ndarray, wx: np.ndarray):
+        """Run ``call(pidx, pwy, pwx) -> array-or-tuple`` (leading dim =
+        len(pidx)) over ``idx`` in ``crop_chunk``-bounded chunks; returns the
+        per-output concatenations sliced to len(idx). Chunks reuse compiled
+        shapes via _pad_m's bucketing."""
+        parts = None
+        for i in range(0, len(idx), self.crop_chunk):
+            sl = slice(i, i + self.crop_chunk)
+            m = len(idx[sl])
+            outs = call(*self._pad_m(idx[sl], wy[sl], wx[sl]))
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            outs = [np.asarray(o)[:m] for o in outs]
+            parts = (
+                [[o] for o in outs]
+                if parts is None
+                else [p + [o] for p, o in zip(parts, outs)]
+            )
+        return [np.concatenate(p, axis=0) for p in parts]
+
     @staticmethod
     def _pad_m(idx: np.ndarray, wy: np.ndarray, wx: np.ndarray, mult: int = 32):
         """Pad the box axis to a bucket size so box-count changes reuse the
@@ -444,10 +470,11 @@ class MTCNNDetector:
         stage2 = [np.empty((0, 5), np.float32)] * n
         if idx.size:
             wy, wx = self._crop_weights(sq, h, w, 24)
-            pidx, pwy, pwx = self._pad_m(idx, wy, wx)
-            prob, reg = self._rnet_crops(self.params[1], fdev, pidx, pwy, pwx)
-            prob = np.asarray(prob)[: len(idx), 1]
-            reg = np.asarray(reg)[: len(idx)]
+            prob, reg = self._run_crops_chunked(
+                lambda a, b, c: self._rnet_crops(self.params[1], fdev, a, b, c),
+                idx, wy, wx,
+            )
+            prob = prob[:, 1]
             for fi in range(n):
                 m = (idx == fi) & (prob > self.thresholds[1])
                 if not m.any():
@@ -462,10 +489,11 @@ class MTCNNDetector:
         stage3: List[Tuple[Optional[np.ndarray], float]] = [(None, 0.0)] * n
         if idx.size:
             wy, wx = self._crop_weights(sq, h, w, 48)
-            pidx, pwy, pwx = self._pad_m(idx, wy, wx)
-            prob, reg, _lm = self._onet_crops(self.params[2], fdev, pidx, pwy, pwx)
-            prob = np.asarray(prob)[: len(idx), 1]
-            reg = np.asarray(reg)[: len(idx)]
+            prob, reg, _lm = self._run_crops_chunked(
+                lambda a, b, c: self._onet_crops(self.params[2], fdev, a, b, c),
+                idx, wy, wx,
+            )
+            prob = prob[:, 1]
             for fi in range(n):
                 m = (idx == fi) & (prob > self.thresholds[2])
                 if not m.any():
@@ -491,10 +519,11 @@ class MTCNNDetector:
         if hit:
             boxes = np.stack([dets[i][0] for i in hit])
             wy, wx = self._crop_weights(boxes, h, w, self.face_size)
-            pidx, pwy, pwx = self._pad_m(np.asarray(hit, np.int32), wy, wx)
-            raw = np.asarray(
-                self._gather_crops(jnp.asarray(frames), pidx, pwy, pwx)
-            )[: len(hit)]
+            fdev = jnp.asarray(frames)
+            (raw,) = self._run_crops_chunked(
+                lambda a, b, c: self._gather_crops(fdev, a, b, c),
+                np.asarray(hit, np.int32), wy, wx,
+            )
             norm = (raw - 127.5) / 128.0
             faces = np.clip((norm + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
             crops = dict(zip(hit, faces))

@@ -41,8 +41,10 @@ class ViT(nn.Module):
     # final_ln in the backbone, `Transformer_Vision.py:30`) — declares the
     # mode='features'/'head' split for the trainer's frozen-feature cache
     # (train/loop.py); exact because the backbone has no batch stats and the
-    # preset dropout is 0.0.
+    # preset dropout is 0.0. head_mode_regex: the trainable set the 'head'
+    # graph covers (cache engages only when the trainer's head_regex matches).
     supports_head_mode = True
+    head_mode_regex = r"(^|/)(head|classifier(_ln)?)(/|$)"
 
     @property
     def num_patches(self) -> int:

@@ -173,13 +173,19 @@ class JitTrainer:
 
     def _frozen_cache_ok(self) -> bool:
         """A frozen phase may run on cached backbone features only when that
-        is the same math: the model declares the split (`supports_head_mode`),
-        nothing stochastic or stateful lives in the backbone (dropout 0, no
-        max-norm projection — it would touch frozen leaves), and the loss has
-        no whole-tree regularizers (l1/l2 sum over ALL kernels)."""
+        is the same math: the model declares the split (`supports_head_mode`
+        + `head_mode_regex`, the exact trainable set its 'head' graph
+        covers), the trainer's head_regex IS that set (a superset regex
+        would mark params trainable that the head graph never touches —
+        their grads would be silently zero while AdamW weight decay still
+        shrinks them every step), nothing stochastic or stateful lives in
+        the backbone (dropout 0, no max-norm projection — it would touch
+        frozen leaves), and the loss has no whole-tree regularizers (l1/l2
+        sum over ALL kernels)."""
         return bool(
             self.cfg.cache_frozen_features
             and getattr(self.model, "supports_head_mode", False)
+            and self.head_regex == getattr(self.model, "head_mode_regex", None)
             and getattr(self.model, "dropout", 1.0) == 0.0
             and not self.maxnorm_rules
             and not self.cfg.l1_reg

@@ -70,8 +70,14 @@ def _cached(cache_dir: Optional[str], key: str, compute: Callable[[], Tuple[np.n
     # (silent data change / SIGBUS under the reader) — os.replace keeps the
     # old inode alive until the last view drops
     tmp = path + f".{os.getpid()}.tmp.npz"  # savez appends .npz unless present
-    np.savez(tmp, x=x, y=y)
-    os.replace(tmp, path)
+    try:
+        np.savez(tmp, x=x, y=y)
+        os.replace(tmp, path)
+    except BaseException:
+        # a failed write (ENOSPC, kill) must not leave a multi-GB orphan
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return x, y
 
 
@@ -193,6 +199,9 @@ class ModalityPipelines:
         self._trainers: Dict[str, JitTrainer] = {}
         # (modality, subject) -> device-resident split parked by ``prefetch``
         self._prefetched: Dict[Tuple[str, int], Any] = {}
+        import threading
+
+        self._prefetch_lock = threading.Lock()
 
     def _trainer(self, preset_key: str, preset) -> "JitTrainer":
         t = self._trainers.get(preset_key)
@@ -347,14 +356,21 @@ class ModalityPipelines:
             return
         try:
             data = getattr(self, spec[0])(subject, *spec[1])
-            self._prefetched.clear()  # hold at most one subject's splits
-            self._prefetched[(modality, subject)] = data
+            with self._prefetch_lock:
+                self._prefetched[(modality, subject)] = data
+                # bound parked device memory: the runner's start/join
+                # discipline keeps <=2 live entries (the running task's,
+                # racing its pop, + this one); anything older is a task
+                # that crashed before consuming — evict FIFO
+                while len(self._prefetched) > 2:
+                    self._prefetched.pop(next(iter(self._prefetched)))
         except Exception as e:  # noqa: BLE001 — best-effort by design
             print(f"[prefetch] subject{subject:02d} {modality} failed ({e}); "
                   "task will load inline")
 
     def _take_or_load(self, subject: int, modality: str, loader):
-        data = self._prefetched.pop((modality, subject), None)
+        with self._prefetch_lock:
+            data = self._prefetched.pop((modality, subject), None)
         return loader() if data is None else data
 
     def run_eeg(self, subject: int, preset_key: str = "eeg") -> TaskResult:

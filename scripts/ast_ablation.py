@@ -6,6 +6,8 @@ import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+assert jax.devices()[0].platform != "cpu", (
+    "this measures the TPU path (axon can crash and silently fall back to CPU)")
 from eav_tpu.core.optim import adam_update, init_adam_state, trainable_mask
 from eav_tpu.models.ast import AST
 from eav_tpu.train.loop import cross_entropy

@@ -65,6 +65,8 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    assert jax.devices()[0].platform != "cpu", (
+        "this measures the TPU path (axon can crash and silently fall back to CPU)")
 
     from eav_tpu.models.mtcnn import MTCNNDetector
 

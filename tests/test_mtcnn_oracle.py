@@ -428,3 +428,27 @@ def test_batched_cascade_matches_sequential():
     crops_bat = det.crop_faces_batched(frames, prob_threshold=0.0)
     # uint8 crops may differ by 1 LSB where float rounding crosses a .5
     assert np.abs(crops_seq.astype(int) - crops_bat.astype(int)).max() <= 1
+
+
+def test_batched_cascade_chunked_matches_unchunked():
+    """crop_chunk bounds the per-call HBM gather (real clips produce
+    thousands of stage-1 candidates); a tiny chunk must reproduce the
+    single-chunk results exactly — same boxes, probs, crops."""
+    _, flax_params = _build_everything()
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, size=(6, 60, 52, 3)).astype(np.uint8)
+
+    det = MTCNNDetector(*flax_params, thresholds=(0.2, 0.05, 0.05))
+    ref_det = det.detect_batched(frames)
+    ref_crops = det.crop_faces_batched(frames, prob_threshold=0.0)
+
+    det.crop_chunk = 2  # force many chunks through every cascade stage
+    got_det = det.detect_batched(frames)
+    got_crops = det.crop_faces_batched(frames, prob_threshold=0.0)
+
+    for (rb, rp), (gb, gp) in zip(ref_det, got_det):
+        assert (rb is None) == (gb is None)
+        if rb is not None:
+            np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-4)
+            assert abs(gp - rp) < 1e-5
+    np.testing.assert_array_equal(ref_crops, got_crops)
