@@ -73,6 +73,7 @@ def cmd_run(args) -> int:
         seed=args.seed,
         epochs_per_call=args.epochs_per_call,
         mesh=mesh,
+        epc_target_seconds=args.epc_target_seconds,
     )
     cfg = SweepConfig(
         subjects=tuple(_parse_subjects(args.subjects)),
@@ -183,6 +184,11 @@ def main(argv=None) -> int:
     run.add_argument(
         "--epochs-per-call", type=int, default=None,
         help="split subject-parallel phases into chunks of N epochs per device call",
+    )
+    run.add_argument(
+        "--epc-target-seconds", type=float, default=None,
+        help="with --epochs-per-call: adaptively enlarge later chunks so each "
+        "device call runs about this long (cuts per-call dispatch overhead)",
     )
     run.add_argument(
         "--set", action="append", default=[], metavar="PATH=VALUE",

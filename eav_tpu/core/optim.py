@@ -30,7 +30,12 @@ class AdamState(NamedTuple):
     nu: Any
 
 
+@jax.jit
 def init_adam_state(params) -> AdamState:
+    # jitted: one compiled program instead of 2 x n_leaves eager zeros
+    # dispatches (hundreds of device round trips per fit() through the
+    # tunneled runtime at ViT/AST-base scale); jax.jit caches per pytree
+    # structure + leaf avals, so each model compiles it once
     zeros_like = lambda p: jnp.zeros_like(p)
     counts = jax.tree.map(lambda p: jnp.zeros((), jnp.int32), params)
     return AdamState(

@@ -50,16 +50,24 @@ class SubjectParallelTrainer:
         head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
         mesh=None,
         epochs_per_call: Optional[int] = None,
+        epc_target_seconds: Optional[float] = None,
     ):
         """``epochs_per_call``: split each phase into multiple invocations of
         an ``epochs_per_call``-epoch program. Numerically identical to the
         single program (the carry threads through); needed where a runtime
         bounds single-execution duration (the axon tunnel kills executions of
-        a few minutes), and useful to bound time-to-first-metric."""
+        a few minutes), and useful to bound time-to-first-metric.
+
+        ``epc_target_seconds``: adaptively enlarge chunks after timing the
+        first one so each call executes for about this long — per-call
+        dispatch costs ~0.4-0.7 s through the tunneled runtime, which at
+        epochs_per_call=2 is ~40% of a 200-epoch EEGNet group (100 calls).
+        Same semantics as :class:`JitTrainer`'s parameter."""
         self.inner = JitTrainer(model, cfg, maxnorm_rules, head_regex)
         self.model = model
         self.cfg = cfg
         self.epochs_per_call = epochs_per_call
+        self.epc_target_seconds = epc_target_seconds
         self._auto_mesh = mesh is None
         self.mesh = mesh if mesh is not None else make_mesh(((SUBJECT_AXIS, -1),))
 
@@ -109,8 +117,12 @@ class SubjectParallelTrainer:
                 params = maxnorm_project(params, self.inner.maxnorm_rules)
             return params, variables.get("batch_stats", {})
 
+        # jit(vmap(init)): eager vmap still dispatches every initializer op
+        # separately — hundreds of device round trips through the tunneled
+        # runtime at transformer scale (see JitTrainer._init_fn_cache)
+        jit_init = jax.jit(jax.vmap(init_one))
         if init_params is None:
-            params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+            params, bstats = jit_init(init_keys, tr_x)
         else:
             # stacked pretrained trees overlay the fresh init (possibly
             # partially, e.g. a backbone-only checkpoint) — identical
@@ -138,7 +150,7 @@ class SubjectParallelTrainer:
                 params = given_p
                 bstats = given_b if given_b is not None else {}
             else:
-                params, bstats = jax.vmap(init_one)(init_keys, tr_x)
+                params, bstats = jit_init(init_keys, tr_x)
                 params = overlay_params(params, given_p)
                 if given_b is not None:
                     bstats = overlay_params(bstats, given_b)
@@ -178,14 +190,21 @@ class SubjectParallelTrainer:
                 )
             return vphase_cache[key]
 
+        import time
+
         for phase_cfg in self.cfg.phases:
             mask = trainable_mask(one_params, phase_cfg.freeze, self.inner.head_regex)
             epc = self.epochs_per_call or phase_cfg.epochs
-            chunks = [epc] * (phase_cfg.epochs // epc)
-            if phase_cfg.epochs % epc:
-                chunks.append(phase_cfg.epochs % epc)
+            # adaptive chunk sizing: see __init__ (decided once per phase,
+            # from the first chunk's measured wall; a compile-polluted first
+            # wall just keeps chunks at the safe floor size)
+            adaptive = bool(self.epc_target_seconds) and epc < phase_cfg.epochs
             lr = jnp.asarray(phase_cfg.lr, jnp.float32)
-            for chunk_epochs in chunks:
+            remaining = phase_cfg.epochs
+            chunk_size = epc
+            while remaining > 0:
+                chunk_epochs = min(chunk_size, remaining)
+                t_chunk = time.perf_counter()
                 vphase = get_vphase(phase_cfg.freeze, mask, chunk_epochs)
                 params, bstats, opt_state, rngs, (lh, trh, teh, el), logits = vphase(
                     params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y, lr
@@ -195,7 +214,17 @@ class SubjectParallelTrainer:
                 hist["test_acc"].append(np.asarray(teh))
                 if el is not None:
                     el_h.append(np.asarray(el))
-                outputs_test = np.asarray(logits)
+                outputs_test = np.asarray(logits)  # also fences the chunk
+                remaining -= chunk_epochs
+                if adaptive and remaining > 0:
+                    from eav_tpu.train.loop import _quantize_chunk
+
+                    per_epoch = (time.perf_counter() - t_chunk) / chunk_epochs
+                    k = _quantize_chunk(
+                        int(self.epc_target_seconds / max(per_epoch, 1e-9))
+                    )
+                    chunk_size = max(epc, min(k, remaining))
+                    adaptive = False
 
         history = {k: np.concatenate(v, axis=1) for k, v in hist.items()}
         epoch_logits = np.concatenate(el_h, axis=1) if el_h else None

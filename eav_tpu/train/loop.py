@@ -22,6 +22,7 @@ Protocol parity:
 
 from __future__ import annotations
 
+import time
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -71,6 +72,21 @@ def overlay_params(base, update):
             for k in base
         }
     return update
+
+
+_CHUNK_BUCKETS = (1, 2, 3, 5, 8, 12, 20, 30, 50, 75, 100, 150, 200, 300, 500)
+
+
+def _quantize_chunk(k: int) -> int:
+    """Largest bucket <= k. Adaptive chunk sizes are snapped to this fixed
+    ladder so run-to-run timing noise cannot produce novel program shapes —
+    each would be a persistent-compile-cache miss (minutes through the
+    remote-compile tunnel)."""
+    out = _CHUNK_BUCKETS[0]
+    for b in _CHUNK_BUCKETS:
+        if b <= k:
+            out = b
+    return out
 
 
 def _ensure_device(x):
@@ -125,20 +141,36 @@ class JitTrainer:
         maxnorm_rules: Sequence[Tuple[str, float, Tuple[int, ...]]] = (),
         head_regex: str = r"(^|/)(head|classifier(_ln)?)(/|$)",
         epochs_per_call: Optional[int] = None,
+        epc_target_seconds: Optional[float] = None,
     ):
         """``epochs_per_call``: split each phase into chunked invocations of
         a shorter compiled program — numerically identical (the carry threads
-        through); needed on runtimes that bound single-execution duration."""
+        through); needed on runtimes that bound single-execution duration.
+
+        ``epc_target_seconds``: adaptively ENLARGE chunks after timing the
+        first ``epochs_per_call``-sized one, so each call executes for about
+        this long. Small fixed chunks pay one dispatch round trip per call —
+        measured ~0.4-0.7 s each through the tunneled runtime, i.e. ~40% of
+        a 200-epoch EEGNet phase at epochs_per_call=2 (100 calls). Sizes are
+        quantized to a fixed bucket ladder so reruns hit the persistent
+        compile cache. Numerically identical either way (the carry threads
+        through chunk boundaries; tests/test_eegnet_train.py pins it)."""
         self.model = model
         self.cfg = cfg
         self.maxnorm_rules = tuple(maxnorm_rules)
         self.head_regex = head_regex
         self.epochs_per_call = epochs_per_call
+        self.epc_target_seconds = epc_target_seconds
         # compiled phase programs keyed by (freeze, epochs, n_train, n_test):
         # a sweep runs the SAME program for every subject (identical shapes),
         # and rebuilding it per fit() pays re-trace + executable reload —
         # ~60 s/subject through the remote-compile tunnel (round-3 journal)
         self._phase_fn_cache: Dict[Any, Any] = {}
+        # jitted model.init keyed by example-input (shape, dtype): eager Flax
+        # init dispatches every initializer op separately — hundreds of
+        # per-op device round trips through the tunneled runtime for a
+        # ViT/AST-base tree, tens of seconds per fit() (round-3 probe)
+        self._init_fn_cache: Dict[Any, Any] = {}
 
     # -- model plumbing --------------------------------------------------
 
@@ -465,9 +497,14 @@ class JitTrainer:
 
         rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         rng, k_init = jax.random.split(rng)
-        variables = self.model.init(
-            {"params": k_init, "dropout": k_init}, tr_x[:1], train=False
-        )
+        init_key = (tuple(tr_x.shape[1:]), str(tr_x.dtype))
+        if init_key not in self._init_fn_cache:
+            self._init_fn_cache[init_key] = jax.jit(
+                lambda k, x0: self.model.init(
+                    {"params": k, "dropout": k}, x0, train=False
+                )
+            )
+        variables = self._init_fn_cache[init_key](k_init, tr_x[:1])
         params = variables["params"]
         bstats = variables.get("batch_stats", {})
         if init_params is not None:
@@ -523,13 +560,18 @@ class JitTrainer:
                 # execution's duration — a head-mode phase executes in
                 # milliseconds regardless of epochs, so chunking it only
                 # pays per-call dispatch; run it as one program
-                chunks = [phase_cfg.epochs]
+                epc = phase_cfg.epochs
+                adaptive = False
             else:
                 epc = self.epochs_per_call or phase_cfg.epochs
-                chunks = [epc] * (phase_cfg.epochs // epc)
-                if phase_cfg.epochs % epc:
-                    chunks.append(phase_cfg.epochs % epc)
-            for chunk_epochs in chunks:
+                # size later chunks from the first one's measured wall so
+                # each call runs ~epc_target_seconds (see __init__)
+                adaptive = bool(self.epc_target_seconds) and epc < phase_cfg.epochs
+            remaining = phase_cfg.epochs
+            chunk_size = epc
+            while remaining > 0:
+                chunk_epochs = min(chunk_size, remaining)
+                t_chunk = time.perf_counter()
                 if use_python_loop:
                     params, bstats, opt_state, rng, (lh, trh, teh, el), logits = (
                         self._run_phase_python(
@@ -555,7 +597,15 @@ class JitTrainer:
                 hist_te.append(np.asarray(teh))
                 if el is not None:
                     hist_el.append(np.asarray(el))
-                outputs_test = np.asarray(logits)
+                outputs_test = np.asarray(logits)  # also fences the chunk
+                remaining -= chunk_epochs
+                if adaptive and remaining > 0:
+                    # decide once, from the first chunk: a compile-polluted
+                    # first wall just keeps chunks at the safe floor size
+                    per_epoch = (time.perf_counter() - t_chunk) / chunk_epochs
+                    k = _quantize_chunk(int(self.epc_target_seconds / max(per_epoch, 1e-9)))
+                    chunk_size = max(epc, min(k, remaining))
+                    adaptive = False
             if checkpoint_dir is not None:
                 save_pytree(
                     os.path.join(checkpoint_dir, f"phase{phase_idx}"),

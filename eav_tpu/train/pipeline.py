@@ -130,6 +130,9 @@ def build_model(preset: PresetConfig):
     raise KeyError(f"unknown model {name!r}")
 
 
+_pretrained_cache: Dict[Any, Any] = {}
+
+
 def _pretrained_params(model_name: str, num_labels: int):
     """Optional pretrained checkpoint import, gated on env-var-pointed local
     files. Returns ``(init_params, init_batch_stats)`` — either may be None.
@@ -142,7 +145,29 @@ def _pretrained_params(model_name: str, num_labels: int):
       stats); the trainer overlays it onto random init (train/loop.py
       ``overlay_params``) so attention/head start fresh like the reference's
       new layers (`CNN_Vision.py:42-56`).
+
+    The converted tree is cached per (model, labels, path): a 42-subject
+    sweep would otherwise re-read and re-convert the identical ~340 MB
+    checkpoint once per subject on the 1-core host. The cached leaves are
+    read-only (overlay/jnp.asarray never mutate them).
     """
+    key = (
+        model_name,
+        num_labels,
+        os.environ.get("EAV_TPU_RESNET_CKPT", "")
+        if model_name == "resnet_attn"
+        else os.environ.get(
+            {"ast": "EAV_TPU_AST_CKPT", "vit": "EAV_TPU_VIT_CKPT"}.get(model_name, ""), ""
+        ),
+    )
+    if key in _pretrained_cache:
+        return _pretrained_cache[key]
+    out = _pretrained_params_uncached(model_name, num_labels)
+    _pretrained_cache[key] = out
+    return out
+
+
+def _pretrained_params_uncached(model_name: str, num_labels: int):
     if model_name == "resnet_attn":
         path = os.environ.get("EAV_TPU_RESNET_CKPT", "")
         if not path or not os.path.isfile(path):
@@ -180,16 +205,23 @@ class ModalityPipelines:
         seed: int = 0,
         epochs_per_call: Optional[int] = None,
         mesh=None,
+        epc_target_seconds: Optional[float] = None,
     ):
         """``mesh``: optional Mesh with a ``data`` axis — serial per-subject
         fine-tunes of the large per-frame models (vision) run batch-DP across
         it, the TPU-native replacement for the reference's ``nn.DataParallel``
-        over GPUs (`Transformer_Vision.py:82-83`)."""
+        over GPUs (`Transformer_Vision.py:82-83`).
+
+        ``epc_target_seconds``: with ``epochs_per_call`` set, adaptively
+        enlarge later chunks so each device call runs ~this long (see
+        JitTrainer) — cuts per-call dispatch overhead on short-epoch models
+        without exceeding runtime execution-duration bounds."""
         self.data_root = data_root
         self.cache_dir = cache_dir
         self.logits_dir = logits_dir
         self.seed = seed
         self.epochs_per_call = epochs_per_call
+        self.epc_target_seconds = epc_target_seconds
         self.mesh = mesh
         self.presets = presets or default_presets()
         # one JitTrainer per preset, reused across subjects: every subject
@@ -208,7 +240,8 @@ class ModalityPipelines:
         if t is None:
             model, kw = build_model(preset)
             t = JitTrainer(model, preset.finetune,
-                           epochs_per_call=self.epochs_per_call, **kw)
+                           epochs_per_call=self.epochs_per_call,
+                           epc_target_seconds=self.epc_target_seconds, **kw)
             self._trainers[preset_key] = t
         return t
 
@@ -533,7 +566,8 @@ class ModalityPipelines:
             if init_bstats is not None:
                 init_params = (init_params, bcast(init_bstats))
         sp_trainer = SubjectParallelTrainer(
-            model, preset.finetune, epochs_per_call=self.epochs_per_call, **kw
+            model, preset.finetune, epochs_per_call=self.epochs_per_call,
+            epc_target_seconds=self.epc_target_seconds, **kw
         )
         t0 = time.perf_counter()
         stacked = sp_trainer.fit_stacked(

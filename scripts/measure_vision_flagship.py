@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--epochs-per-call", type=int, default=2,
                     help="chunked phase programs (the axon tunnel kills "
                     "single executions of more than a couple of minutes)")
+    ap.add_argument("--epc-target-seconds", type=float, default=45.0,
+                    help="adaptively enlarge chunks to ~this wall per call "
+                    "(0 disables; cuts per-call dispatch overhead)")
     ap.add_argument("--out", default="/tmp/vision_flagship")
     args = ap.parse_args()
 
@@ -79,6 +82,7 @@ def main():
         logits_dir=os.path.join(args.out, "logits"),
         presets=presets,
         epochs_per_call=args.epochs_per_call,
+        epc_target_seconds=args.epc_target_seconds or None,
     )
     make_vision_cache(
         pipelines.cache_dir, [1, 2], presets["vision"].vision

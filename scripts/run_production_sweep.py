@@ -104,6 +104,10 @@ def main():
         "--subjects", args.subjects,
         "--out", out, "--cache-dir", cache,
         "--epochs-per-call", "2",  # axon tunnel kills multi-minute executions
+        # adaptively enlarge chunks to ~45 s/call: at 2 epochs/call a
+        # 200-epoch EEGNet group pays 100 dispatch round trips (~0.4-0.7 s
+        # each through the tunnel) — ~40% of the leg
+        "--epc-target-seconds", "45",
     ]
     shrink = [] if args.full else [
         "--set", "audio.finetune.phases.0.epochs=1",

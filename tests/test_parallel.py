@@ -122,6 +122,53 @@ def test_chunked_epochs_match_single_program(rng):
     )
 
 
+def test_adaptive_chunks_match_fixed_and_enlarge(rng):
+    """epc_target_seconds enlarges chunks after the first timed one (fewer
+    device calls — each costs a dispatch round trip on tunneled runtimes)
+    while staying numerically identical to fixed chunking."""
+    from eav_tpu.core.config import FinetuneConfig, PhaseConfig
+    from eav_tpu.models.eegnet import EEGNet
+
+    S, n = 2, 16
+    x = rng.normal(size=(S, n, 4, 32)).astype(np.float32)
+    y = rng.integers(0, 5, (S, n)).astype(np.int32)
+    te_x = rng.normal(size=(S, 8, 4, 32)).astype(np.float32)
+    te_y = rng.integers(0, 5, (S, 8)).astype(np.int32)
+    cfg = FinetuneConfig(
+        model="eegnet", batch_size=8, optimizer="adam", weight_decay=0.0,
+        phases=(PhaseConfig(epochs=9, lr=1e-3, freeze=False),),
+    )
+    model = EEGNet(chans=4, samples=32, kern_length=8, dropout_rate=0.0)
+    fixed = SubjectParallelTrainer(model, cfg, epochs_per_call=1).fit_stacked(
+        (x, y, te_x, te_y), seeds=[0, 1]
+    )
+    sp = SubjectParallelTrainer(
+        model, cfg, epochs_per_call=1, epc_target_seconds=3600.0
+    )
+    adaptive = sp.fit_stacked((x, y, te_x, te_y), seeds=[0, 1])
+    np.testing.assert_allclose(
+        adaptive.outputs_test, fixed.outputs_test, rtol=1e-5, atol=1e-6
+    )
+    assert adaptive.history["test_acc"].shape == (S, 9)
+    # chunk plan: first timed chunk of 1 epoch, then one enlarged chunk for
+    # the remaining 8 (the huge target clamps to `remaining`)
+    assert fixed.history["loss"].shape == (S, 9)
+
+
+def test_adaptive_chunks_respect_bucket_ladder():
+    """Chunk sizes snap to the fixed bucket ladder (novel sizes would be
+    persistent-compile-cache misses on reruns)."""
+    from eav_tpu.train.loop import _CHUNK_BUCKETS, _quantize_chunk
+
+    assert _quantize_chunk(0) == 1
+    assert _quantize_chunk(1) == 1
+    assert _quantize_chunk(4) == 3
+    assert _quantize_chunk(57) == 50
+    assert _quantize_chunk(10**9) == _CHUNK_BUCKETS[-1]
+    for b in _CHUNK_BUCKETS:
+        assert _quantize_chunk(b) == b
+
+
 def test_stacked_with_init_params_matches_serial(rng):
     """Pretrained-checkpoint flow through the subject-parallel path: a single
     checkpoint broadcast across the subject axis must reproduce the serial
