@@ -83,6 +83,12 @@ def main():
                     help="run the FULL published protocols (no epoch shrink) "
                     "— ~3.5 h single-chip with the round-3 frozen-feature "
                     "cache + device-resident splits")
+    ap.add_argument("--watchdog-minutes", type=float, default=12.0,
+                    help="restart the CLI subprocess (journal-resume) when "
+                    "metrics.jsonl stops advancing for this long — the axon "
+                    "worker stalls spontaneously on multi-hour runs "
+                    "(observed twice 2026-08-18: a device call hangs forever "
+                    "mid-subject). 0 disables.")
     args = ap.parse_args()
 
     out = args.out
@@ -115,11 +121,41 @@ def main():
         "--set", "vision.finetune.phases.0.epochs=2",
         "--set", "vision.finetune.phases.1.epochs=1",
     ]
+    def call_watched(cmd):
+        """subprocess.call with a stall watchdog: if the sweep's metrics
+        JSONL stops advancing for --watchdog-minutes, kill the subprocess
+        and relaunch it — the journal resumes past all done tasks. Returns
+        the final return code."""
+        metrics = os.path.join(out, "metrics.jsonl")
+        limit = args.watchdog_minutes * 60.0
+        while True:
+            launched = time.time()
+            p = subprocess.Popen(cmd, cwd=REPO, env=env)
+            rc = None
+            while rc is None:
+                try:
+                    rc = p.wait(timeout=30.0)
+                except subprocess.TimeoutExpired:
+                    if not limit:
+                        continue
+                    try:
+                        age = time.time() - os.path.getmtime(metrics)
+                    except OSError:
+                        age = 0.0  # no metrics yet: compiling/loading
+                    # both clauses: give a fresh launch its compile window
+                    if age > limit and time.time() - launched > limit:
+                        print(json.dumps({"watchdog_restart": {
+                            "stalled_minutes": round(age / 60, 1)}}), flush=True)
+                        p.kill()
+                        p.wait()
+                        break
+            if rc is not None:
+                return rc
+
     t0 = time.perf_counter()
-    rc = subprocess.call(
+    rc = call_watched(
         common + ["--modalities", "eeg,audio,vision",
                   "--subject-parallel", str(args.subject_parallel)] + shrink,
-        cwd=REPO, env=env,
     )
     main_wall = time.perf_counter() - t0
     print(json.dumps({"sweep_main_rc": rc, "wall_minutes": round(main_wall / 60, 1)}),
