@@ -28,26 +28,30 @@ class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     expansion: int = 4
+    dtype: object = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
         )
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(
             self.features, (3, 3), strides=(self.strides, self.strides),
-            padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
         y = nn.relu(bn("bn2")(y))
-        y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
         y = bn("bn3")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features * self.expansion, (1, 1),
-                strides=(self.strides, self.strides), use_bias=False, name="down_conv",
+                strides=(self.strides, self.strides), use_bias=False,
+                dtype=self.dtype, name="down_conv",
             )(x)
             residual = bn("down_bn")(residual)
         return nn.relu(y + residual)
@@ -55,15 +59,17 @@ class Bottleneck(nn.Module):
 
 class ResNet50Backbone(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: object = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bn = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
         )
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-            use_bias=False, name="conv1",
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = nn.relu(bn(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -71,27 +77,35 @@ class ResNet50Backbone(nn.Module):
             for b in range(blocks):
                 strides = 2 if (stage > 0 and b == 0) else 1
                 x = Bottleneck(
-                    64 * (2**stage), strides=strides, name=f"layer{stage + 1}_{b}"
+                    64 * (2**stage), strides=strides, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
                 )(x, train)
         return x  # (B, 7, 7, 2048) for 224 inputs
 
 
 class ResNetAttn(nn.Module):
     num_labels: int = 5
+    # compute dtype for convs/denses/BN (e.g. jnp.bfloat16 for MXU
+    # throughput — measured 25.2 -> 15.0 ms/step, 1,269 -> 2,131 samples/s,
+    # at bs 32 224^2 on v5e; scripts/family_microbench.py); params and BN
+    # running stats stay f32, logits are cast back to f32. None = all-f32
+    # torch-parity numerics (the import-parity tests pin this default).
+    compute_dtype: object = None
     HEAD_REGEX = r"^(?!backbone/)"  # freeze = backbone only (`CNN_Vision.py:123`)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        feats = ResNet50Backbone(name="backbone")(x, train)
+        feats = ResNet50Backbone(dtype=self.compute_dtype, name="backbone")(x, train)
         avg = feats.mean(axis=(1, 2))
         mx = feats.max(axis=(1, 2))
-        fc1 = nn.Dense(2048, name="attn_fc1")
-        fc2 = nn.Dense(2048, name="attn_fc2")
+        fc1 = nn.Dense(2048, dtype=self.compute_dtype, name="attn_fc1")
+        fc2 = nn.Dense(2048, dtype=self.compute_dtype, name="attn_fc2")
         attn = fc2(fc1(avg)) + fc2(fc1(mx))  # no sigmoid — reference quirk
         feats = feats * attn[:, None, None, :]
         pooled = feats.mean(axis=(1, 2))
-        h = nn.relu(nn.Dense(1024, name="cls_fc1")(pooled))
-        return nn.Dense(self.num_labels, name="cls_fc2")(h)
+        h = nn.relu(nn.Dense(1024, dtype=self.compute_dtype, name="cls_fc1")(pooled))
+        logits = nn.Dense(self.num_labels, dtype=self.compute_dtype, name="cls_fc2")(h)
+        return logits.astype(jnp.float32)
 
 
 def convert_torchvision_resnet50(sd, params_template) -> dict:

@@ -64,6 +64,31 @@ def test_resnet_attn_shapes(rng):
     assert leaves["cls_fc1/kernel"].shape == (2048, 1024)
 
 
+def test_resnet_bf16_compute_close_to_f32(rng):
+    """compute_dtype=bf16 (MXU-throughput knob, measured 1.7x the f32 step
+    on v5e — scripts/family_microbench.py) must stay a rounding-level
+    perturbation of the all-f32 forward, keep f32 params/batch-stats (the
+    torchvision import-parity tests pin the f32 default), and return f32
+    logits."""
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    base = ResNetAttn()
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    bf_model = base.clone(compute_dtype=jnp.bfloat16)
+    # init under bf16 compute must produce the identical f32 param tree
+    # (param_dtype stays f32) so checkpoints import either way
+    v_bf = bf_model.init(jax.random.PRNGKey(0), x, train=False)
+    for (pa, a), (pb, b) in zip(
+        sorted(_leaves(v["params"]).items()), sorted(_leaves(v_bf["params"]).items())
+    ):
+        assert pa == pb and a.dtype == b.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=pa)
+    ref = base.apply(v, x, train=False)
+    bf = bf_model.apply(v, x, train=False)
+    assert bf.dtype == ref.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(ref), rtol=0.15, atol=0.3)
+    assert not np.array_equal(np.asarray(bf), np.asarray(ref))
+
+
 def test_resnet_freeze_regex():
     model = ResNetAttn()
     v = model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=False)
