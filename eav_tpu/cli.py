@@ -48,6 +48,12 @@ def cmd_run(args) -> int:
         presets = apply_overrides(presets, load_override_file(args.config))
     if args.set:
         presets = apply_overrides(presets, args.set)
+    if args.chip_parallel > 1 and args.data_parallel > 1:
+        raise SystemExit(
+            "--chip-parallel and --data-parallel are mutually exclusive: the "
+            "farm gives each fine-tune a whole chip; DP shards one fine-tune "
+            "across chips"
+        )
     mesh = None
     if args.data_parallel > 1:
         # Batch-DP over a pure data mesh: the TPU-native replacement for the
@@ -65,16 +71,19 @@ def cmd_run(args) -> int:
                 f"{len(jax.devices())} devices are visible"
             )
         mesh = make_mesh(((DATA_AXIS, n),), devices=jax.devices()[:n])
-    pipelines = ModalityPipelines(
-        data_root=args.data_root,
-        cache_dir=args.cache_dir or os.path.join(out, "cache"),
-        logits_dir=os.path.join(out, "logits"),
-        presets=presets,
-        seed=args.seed,
-        epochs_per_call=args.epochs_per_call,
-        mesh=mesh,
-        epc_target_seconds=args.epc_target_seconds,
-    )
+    def make_pipelines():
+        return ModalityPipelines(
+            data_root=args.data_root,
+            cache_dir=args.cache_dir or os.path.join(out, "cache"),
+            logits_dir=os.path.join(out, "logits"),
+            presets=presets,
+            seed=args.seed,
+            epochs_per_call=args.epochs_per_call,
+            mesh=mesh,
+            epc_target_seconds=args.epc_target_seconds,
+        )
+
+    pipelines = make_pipelines()
     cfg = SweepConfig(
         subjects=tuple(_parse_subjects(args.subjects)),
         modalities=tuple(args.modalities.split(",")),
@@ -90,10 +99,10 @@ def cmd_run(args) -> int:
         from eav_tpu.utils.profiling import trace
 
         with trace(args.profile):
-            rc = _run_sweep(args, cfg, runner, pipelines)
+            rc = _run_sweep(args, cfg, runner, pipelines, make_pipelines)
         print(f"[profile] jax.profiler trace written to {args.profile}")
         return rc
-    return _run_sweep(args, cfg, runner, pipelines)
+    return _run_sweep(args, cfg, runner, pipelines, make_pipelines)
 
 
 # Per-family subject-stack caps for --subject-parallel, from 16 GB v5e
@@ -112,7 +121,7 @@ _STACK_CAPS = {"eeg": 8, "eeg_conformer": 8, "audio": 1, "audio_scnn": 8,
                "vision": 1, "vision_resnet": 1}
 
 
-def _run_sweep(args, cfg, runner, pipelines) -> int:
+def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
     if args.subject_parallel > 1:
         for mod, cap in _STACK_CAPS.items():
             if mod in cfg.modalities:
@@ -122,10 +131,30 @@ def _run_sweep(args, cfg, runner, pipelines) -> int:
                         mod,
                         lambda subs, m=mod: pipelines.run_stacked(subs, m),
                         group_size=group,
+                        prefetch_fn=pipelines.prefetch,
                     )
-    # serial tasks overlap the NEXT subject's ingest + H2D with the current
-    # fit (core/sweep.py run prefetch_fn) — on real data this hides the mp4
-    # decode + face-crop pipeline under device compute
+    if getattr(args, "chip_parallel", 1) > 1:
+        # cross-chip task farm: the serial-policy tasks (audio AST, vision
+        # ViT — one fine-tune saturates a chip, cli _STACK_CAPS) spread ONE
+        # PER CHIP and run concurrently. Per-worker ModalityPipelines keep
+        # compiled-program caches and prefetch parking isolated per device.
+        import jax
+
+        from eav_tpu.parallel.farm import device_workers
+
+        n = args.chip_parallel
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"--chip-parallel {n} requested but only "
+                f"{len(jax.devices())} devices are visible"
+            )
+        workers = device_workers(make_pipelines, devices=jax.devices()[:n])
+        runner.run_farmed(workers, verbose=True)
+    # serial pass: everything still pending — the whole sweep in the default
+    # mode, or only retries/fallbacks after a farm run. Overlaps the NEXT
+    # subject's ingest + H2D with the current fit (core/sweep.py run
+    # prefetch_fn) — on real data this hides the mp4 decode + face-crop
+    # pipeline under device compute.
     runner.run(verbose=True, prefetch_fn=pipelines.prefetch)
     print(json.dumps(runner.aggregate(), indent=2))
     return 0
@@ -157,10 +186,57 @@ def cmd_aggregate(args) -> int:
     return 0
 
 
+def cmd_verify_data(args) -> int:
+    """Walk the data root and validate every per-subject layout/shape/label
+    invariant the ingest layer depends on BEFORE a multi-hour sweep is
+    launched against it (ingest/verify.py; the reference's implicit data
+    contract, `README.md:18-40`, is otherwise enforced only by crashing
+    mid-run). Exit 0 = clean (warnings allowed), 1 = errors found."""
+    from eav_tpu.core.config import apply_overrides, load_override_file
+    from eav_tpu.ingest.verify import verify_data_root
+    from eav_tpu.train.pipeline import default_presets
+
+    presets = default_presets()
+    if args.config:
+        presets = apply_overrides(presets, load_override_file(args.config))
+    if args.set:
+        presets = apply_overrides(presets, args.set)
+    eeg_cfg = presets["eeg"].eeg
+    reports = verify_data_root(
+        args.data_root,
+        _parse_subjects(args.subjects),
+        modalities=tuple(args.modalities.split(",")),
+        eeg_channels=eeg_cfg.channels,
+        trial_seconds=eeg_cfg.trial_seconds,
+        probe_video=not args.no_probe,
+        verbose=True,
+    )
+    n_err = sum(len(r.errors) for r in reports)
+    n_warn = sum(len(r.warnings) for r in reports)
+    print(
+        f"[verify] {len(reports)} subjects: "
+        f"{sum(r.ok for r in reports)} ok, {n_err} errors, {n_warn} warnings"
+    )
+    return 0 if n_err == 0 else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="eav_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("presets").set_defaults(fn=cmd_presets)
+
+    vd = sub.add_parser(
+        "verify-data",
+        help="validate a data root's layout/shapes/labels before sweeping",
+    )
+    vd.add_argument("--data-root", required=True)
+    vd.add_argument("--subjects", default="1-42")
+    vd.add_argument("--modalities", default="eeg,audio,vision")
+    vd.add_argument("--no-probe", action="store_true",
+                    help="skip the one-frame video probe decode per subject")
+    vd.add_argument("--set", action="append", default=[], metavar="PATH=VALUE")
+    vd.add_argument("--config", default=None)
+    vd.set_defaults(fn=cmd_verify_data)
 
     run = sub.add_parser("run")
     run.add_argument("--data-root", required=True)
@@ -180,6 +256,13 @@ def main(argv=None) -> int:
         "--data-parallel", type=int, default=1,
         help="shard each fine-tune's batch across N devices (vision path; "
         "the reference's nn.DataParallel equivalent)",
+    )
+    run.add_argument(
+        "--chip-parallel", type=int, default=1,
+        help="cross-chip task farm: N device-bound workers run serial-policy "
+        "fine-tunes concurrently, one whole chip per task (the v5e-8 sweep "
+        "scale-out for audio/vision; combine with --subject-parallel for the "
+        "stackable EEG families)",
     )
     run.add_argument(
         "--epochs-per-call", type=int, default=None,

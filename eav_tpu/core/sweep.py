@@ -22,7 +22,7 @@ import os
 import time
 import traceback
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -60,6 +60,11 @@ class SweepRunner:
     def __init__(self, cfg: SweepConfig, task_fn: TaskFn):
         self.cfg = cfg
         self.task_fn = task_fn
+        # serializes journal/metrics appends + state updates: the farmed
+        # path (run_farmed) executes tasks from concurrent worker threads
+        import threading
+
+        self._log_lock = threading.Lock()
 
     def _task_id(self, subject: int, modality: str) -> str:
         return f"subject{subject:02d}_{modality}"
@@ -68,7 +73,8 @@ class SweepRunner:
         """Latest journal record per task id."""
         state: Dict[str, dict] = {}
         for rec in _read_jsonl(self.cfg.journal_path):
-            state[rec["task"]] = rec
+            if "task" in rec:  # skip event records (e.g. farm summaries)
+                state[rec["task"]] = rec
         return state
 
     def pending_tasks(self) -> List[Tuple[int, str]]:
@@ -83,6 +89,67 @@ class SweepRunner:
                 elif rec["status"] == "failed" and rec.get("attempts", 1) <= self.cfg.max_retries:
                     tasks.append((subject, modality))
         return tasks
+
+    def _run_one(
+        self,
+        subject: int,
+        modality: str,
+        task_fn: TaskFn,
+        state: Dict[str, dict],
+        verbose: bool,
+        extra: Optional[dict] = None,
+    ) -> dict:
+        """Execute ONE task and journal the outcome. Thread-safe: journal and
+        metrics appends and the shared ``state`` update are serialized under
+        ``_log_lock`` (the farmed path runs this from N worker threads;
+        distinct tasks per worker are guaranteed by the claim lock)."""
+        tid = self._task_id(subject, modality)
+        with self._log_lock:
+            attempts = state.get(tid, {}).get("attempts", 0) + 1
+        t0 = time.perf_counter()
+        try:
+            result = task_fn(subject, modality)
+            wall = time.perf_counter() - t0
+            metrics = dict(result.metrics)
+            metrics.update(subject=subject, modality=modality, wall_clock_s=round(wall, 3))
+            if extra:
+                metrics.update(extra)
+            if result.artifacts and self.cfg.checkpoint_dir:
+                from eav_tpu.core.checkpoint import save_pytree
+
+                save_pytree(
+                    os.path.join(self.cfg.checkpoint_dir, tid), result.artifacts
+                )
+            rec = {
+                "task": tid,
+                "status": "done",
+                "attempts": attempts,
+                "wall_clock_s": round(wall, 3),
+                "ts": time.time(),
+            }
+        except Exception as e:  # noqa: BLE001 — task isolation is the point
+            metrics = None
+            rec = {
+                "task": tid,
+                "status": "failed",
+                "attempts": attempts,
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc(limit=5),
+                "ts": time.time(),
+            }
+        if extra:
+            rec.update(extra)
+        with self._log_lock:
+            if metrics is not None:
+                _append_jsonl(self.cfg.metrics_path, metrics)
+            _append_jsonl(self.cfg.journal_path, rec)
+            state[tid] = rec
+        if verbose:
+            if rec["status"] == "done":
+                print(f"[sweep] {tid} done in {rec['wall_clock_s']}s")
+            else:
+                print(f"[sweep] {tid} FAILED ({rec['error']})")
+        return rec
 
     def run(self, verbose: bool = True, prefetch_fn=None) -> Dict[str, dict]:
         """``prefetch_fn(subject, modality)``: optional — launched in a
@@ -101,65 +168,161 @@ class SweepRunner:
                     target=prefetch_fn, args=tasks[i + 1], daemon=True
                 )
                 prefetch_thread.start()
-            tid = self._task_id(subject, modality)
-            attempts = state.get(tid, {}).get("attempts", 0) + 1
-            t0 = time.perf_counter()
-            try:
-                result = self.task_fn(subject, modality)
-                wall = time.perf_counter() - t0
-                metrics = dict(result.metrics)
-                metrics.update(subject=subject, modality=modality, wall_clock_s=round(wall, 3))
-                _append_jsonl(self.cfg.metrics_path, metrics)
-                if result.artifacts and self.cfg.checkpoint_dir:
-                    from eav_tpu.core.checkpoint import save_pytree
-
-                    save_pytree(
-                        os.path.join(self.cfg.checkpoint_dir, tid), result.artifacts
-                    )
-                rec = {
-                    "task": tid,
-                    "status": "done",
-                    "attempts": attempts,
-                    "wall_clock_s": round(wall, 3),
-                    "ts": time.time(),
-                }
-            except Exception as e:  # noqa: BLE001 — task isolation is the point
-                rec = {
-                    "task": tid,
-                    "status": "failed",
-                    "attempts": attempts,
-                    "error": f"{type(e).__name__}: {e}",
-                    "traceback": traceback.format_exc(limit=5),
-                    "ts": time.time(),
-                }
-                if verbose:
-                    print(f"[sweep] {tid} FAILED ({rec['error']})")
-            _append_jsonl(self.cfg.journal_path, rec)
-            state[tid] = rec
-            if verbose and rec["status"] == "done":
-                print(f"[sweep] {tid} done in {rec['wall_clock_s']}s")
+            self._run_one(subject, modality, self.task_fn, state, verbose)
             if prefetch_thread is not None:
                 prefetch_thread.join()
         return state
 
+    def run_farmed(self, workers: Sequence, verbose: bool = True) -> Dict[str, dict]:
+        """Cross-chip task farm: ``len(workers)`` device-bound workers
+        concurrently pull pending (subject, modality) tasks — ONE serial
+        fine-tune per chip, all chips busy. This is the TPU-native scale-out
+        for the serial-policy model families (AST/ViT saturate a chip alone,
+        cli.py ``_STACK_CAPS``), replacing the reference's only multi-device
+        engagement, ``nn.DataParallel``'s automatic intra-host scatter
+        (`Transformer_Audio.py:59-60`, `Transformer_Vision.py:82-83`) — and
+        the mechanism behind the "42 subjects x 3 modalities scheduled across
+        v5e-8 cores" lever (SURVEY.md §2.3).
+
+        ``workers``: ``parallel.farm.DeviceWorker``-likes — ``.name`` (device
+        label journaled per task), ``.task_fn`` and optional ``.prefetch_fn``,
+        both already bound to the worker's device (parallel/farm.py binds via
+        thread-local ``jax.default_device``). Tasks are claimed under a lock
+        (journal-safe: each task runs on exactly one worker); each worker
+        claims one task AHEAD and prefetches it while the current task fits,
+        so ingest/H2D overlaps device compute per chip, like the serial
+        path's prefetch. A farm summary row (per-worker busy seconds, tasks,
+        makespan — the accounting behind the v5e-8 wall-clock claims) is
+        appended to the metrics JSONL."""
+        import threading
+
+        state = self.journal_state()
+        tasks = self.pending_tasks()
+        claim_lock = threading.Lock()
+        pos = [0]
+
+        def claim(ahead: bool = False):
+            with claim_lock:
+                # ahead-claims (a worker reserving its NEXT task to prefetch
+                # it during the current fit) are refused once the unclaimed
+                # tail is no deeper than the worker count: claiming there
+                # pins tail tasks to busy workers while idle workers starve
+                # (observed: 2 tasks / 2 workers -> both on worker 0,
+                # speedup x1.0). Tail tasks are claimed only by free workers.
+                if ahead and len(tasks) - pos[0] <= len(workers):
+                    return None
+                if pos[0] >= len(tasks):
+                    return None
+                t = tasks[pos[0]]
+                pos[0] += 1
+                return t
+
+        per_worker = [
+            {"name": getattr(w, "name", str(i)), "tasks": 0, "busy_s": 0.0}
+            for i, w in enumerate(workers)
+        ]
+
+        def safe_prefetch(fn, subject, modality):
+            try:
+                fn(subject, modality)
+            except Exception as e:  # noqa: BLE001 — prefetch is best-effort
+                print(f"[farm] prefetch subject{subject:02d} {modality} failed ({e})")
+
+        def worker_loop(widx, w):
+            cur = claim()
+            while cur is not None:
+                nxt = claim(ahead=True)
+                pf = None
+                if getattr(w, "prefetch_fn", None) is not None and nxt is not None:
+                    pf = threading.Thread(
+                        target=safe_prefetch, args=(w.prefetch_fn, *nxt), daemon=True
+                    )
+                    pf.start()
+                t0 = time.perf_counter()
+                self._run_one(
+                    cur[0], cur[1], w.task_fn, state, verbose,
+                    extra={"device": getattr(w, "name", str(widx)), "worker": widx},
+                )
+                per_worker[widx]["busy_s"] += time.perf_counter() - t0
+                per_worker[widx]["tasks"] += 1
+                if pf is not None:
+                    pf.join()
+                cur = nxt if nxt is not None else claim()
+
+        t_start = time.perf_counter()
+        threads = [
+            threading.Thread(target=worker_loop, args=(i, w), name=f"farm-{i}")
+            for i, w in enumerate(workers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        makespan = time.perf_counter() - t_start
+        summary = {
+            "event": "farm_summary",
+            "n_workers": len(workers),
+            "n_tasks": sum(pw["tasks"] for pw in per_worker),
+            "makespan_s": round(makespan, 3),
+            "busy_s": [round(pw["busy_s"], 3) for pw in per_worker],
+            "workers": [pw["name"] for pw in per_worker],
+            "ts": time.time(),
+        }
+        with self._log_lock:
+            _append_jsonl(self.cfg.metrics_path, summary)
+        if verbose and summary["n_tasks"]:
+            busy = sum(pw["busy_s"] for pw in per_worker)
+            print(
+                f"[farm] {summary['n_tasks']} tasks over {len(workers)} workers: "
+                f"makespan {makespan:.1f}s, aggregate busy {busy:.1f}s "
+                f"(speedup x{busy / max(makespan, 1e-9):.2f})"
+            )
+        return state
+
     def run_batched(
-        self, modality: str, batch_fn, group_size: int = 8, verbose: bool = True
+        self, modality: str, batch_fn, group_size: int = 8, verbose: bool = True,
+        prefetch_fn=None,
     ) -> Dict[str, dict]:
         """Run pending subjects of one modality in groups through a batched
         task function (subjects -> {subject: TaskResult}) — used by the
         subject-parallel trainers. Journal/metrics records are identical to
         the serial path, so resume/aggregate work unchanged.
 
+        ``prefetch_fn(subject, modality)``: optional — while group G's
+        stacked fit runs on the device, a daemon thread walks group G+1's
+        subjects through it (the batched analogue of ``run``'s prefetch; on
+        real data a stacked EEG group is 8 subjects x .mat ingest, minutes of
+        idle chip without the overlap). Joined before G+1 starts.
+
         Fault isolation: a failing group is BISECTED — each half retries
         independently, recursing until the offending subject(s) run alone —
         so one bad subject (or an OOM at the full stack size) costs only its
         own retry budget instead of poisoning every group member. The smaller
         sub-stacks recompile, but only on the failure path."""
+        import threading
+
         state = self.journal_state()
         pending = [s for s, m in self.pending_tasks() if m == modality]
-        for g in range(0, len(pending), group_size):
-            self._run_group(modality, batch_fn, pending[g : g + group_size],
-                            state, verbose)
+        groups = [pending[g : g + group_size]
+                  for g in range(0, len(pending), group_size)]
+
+        def prefetch_group(subjects):
+            for s in subjects:
+                try:
+                    prefetch_fn(s, modality)
+                except Exception as e:  # noqa: BLE001 — prefetch is best-effort
+                    print(f"[sweep] prefetch subject{s:02d} {modality} failed ({e})")
+
+        for i, group in enumerate(groups):
+            thread = None
+            if prefetch_fn is not None and i + 1 < len(groups):
+                thread = threading.Thread(
+                    target=prefetch_group, args=(groups[i + 1],), daemon=True
+                )
+                thread.start()
+            self._run_group(modality, batch_fn, group, state, verbose)
+            if thread is not None:
+                thread.join()
         return state
 
     def _run_group(self, modality: str, batch_fn, group: List[int],

@@ -131,6 +131,12 @@ def build_model(preset: PresetConfig):
 
 
 _pretrained_cache: Dict[Any, Any] = {}
+# farm workers (parallel/farm.py) share this module-level cache from N
+# threads: the lock makes the first conversion exclusive so concurrent
+# workers neither duplicate the ~340 MB read+convert nor race the dict
+import threading as _threading
+
+_pretrained_lock = _threading.Lock()
 
 
 def _pretrained_params(model_name: str, num_labels: int):
@@ -160,11 +166,12 @@ def _pretrained_params(model_name: str, num_labels: int):
             {"ast": "EAV_TPU_AST_CKPT", "vit": "EAV_TPU_VIT_CKPT"}.get(model_name, ""), ""
         ),
     )
-    if key in _pretrained_cache:
-        return _pretrained_cache[key]
-    out = _pretrained_params_uncached(model_name, num_labels)
-    _pretrained_cache[key] = out
-    return out
+    with _pretrained_lock:
+        if key in _pretrained_cache:
+            return _pretrained_cache[key]
+        out = _pretrained_params_uncached(model_name, num_labels)
+        _pretrained_cache[key] = out
+        return out
 
 
 def _pretrained_params_uncached(model_name: str, num_labels: int):

