@@ -50,13 +50,15 @@ class PostNormLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         a = VResidualAttention(self.embed, name="attn")(x)
-        a = nn.LayerNorm(name="norm1")(a)
+        # eps 1e-5 = torch nn.LayerNorm default (`Transformer_EEG.py:97-98`);
+        # flax defaults to 1e-6, a real (if tiny) trajectory divergence
+        a = nn.LayerNorm(epsilon=1e-5, name="norm1")(a)
         x = x + nn.Dropout(self.drop)(a, deterministic=deterministic)
         f = nn.Dense(self.embed * self.expansion, name="fc1")(x)
         f = nn.relu(f)
         f = nn.Dropout(self.drop)(f, deterministic=deterministic)
         f = nn.Dense(self.embed, name="fc2")(f)
-        f = nn.LayerNorm(name="norm2")(f)
+        f = nn.LayerNorm(epsilon=1e-5, name="norm2")(f)
         return x + nn.Dropout(self.drop)(f, deterministic=deterministic)
 
 
@@ -93,7 +95,11 @@ class ConformerEEG(nn.Module):
             )(tokens, deterministic=not train)
         # (B, T, F) -> (B, 1, T, F) for BN over the filter axis, then power pool
         h = tokens[:, None, :, :]  # NHWC with C=filters
-        h = nn.BatchNorm(
+        # torch-faithful BN (unbiased running-var update, models/norm.py):
+        # the running stats feed every per-epoch eval (`Transformer_EEG.py:205-219`)
+        from eav_tpu.models.norm import TorchBatchNorm
+
+        h = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(h)
         h = jnp.square(h)

@@ -92,7 +92,12 @@ class EEGNet(nn.Module):
         # (B, chans, samples) -> NHWC (B, chans, samples, 1)
         if x.ndim == 3:
             x = x[..., None]
-        bn = lambda name: nn.BatchNorm(
+        # torch-faithful BN: unbiased running-var update (models/norm.py) —
+        # read constantly by the published trajectory via the sticky-eval
+        # quirk (`EEGNet_tor.py:96-135`; config.compat_sticky_eval)
+        from eav_tpu.models.norm import TorchBatchNorm
+
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
         dt = self.compute_dtype

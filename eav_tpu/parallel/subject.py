@@ -112,10 +112,9 @@ class SubjectParallelTrainer:
             variables = self.model.init(
                 {"params": key, "dropout": key}, x1[:1], train=False
             )
-            params = variables["params"]
-            if self.inner.maxnorm_rules:
-                params = maxnorm_project(params, self.inner.maxnorm_rules)
-            return params, variables.get("batch_stats", {})
+            # no projection at init — matches JitTrainer.fit (torch renorm
+            # fires only after a forward/step; see train/loop.py fit())
+            return variables["params"], variables.get("batch_stats", {})
 
         # jit(vmap(init)): eager vmap still dispatches every initializer op
         # separately — hundreds of device round trips through the tunneled
@@ -154,14 +153,6 @@ class SubjectParallelTrainer:
                 params = overlay_params(params, given_p)
                 if given_b is not None:
                     bstats = overlay_params(bstats, given_b)
-            if self.inner.maxnorm_rules:
-                # match JitTrainer.fit: constraints hold at init AFTER the
-                # pretrained overlay (torch applies renorm hooks regardless
-                # of where the weights came from); vmapped so the per-param
-                # projection axes are not shifted by the subject dim
-                params = jax.vmap(
-                    lambda p: maxnorm_project(p, self.inner.maxnorm_rules)
-                )(params)
         opt_state = jax.vmap(init_adam_state)(params)
 
         # masks are identical across subjects (same structure)
@@ -180,10 +171,15 @@ class SubjectParallelTrainer:
 
         vphase_cache = {}
 
-        def get_vphase(mask_key, mask, epochs):
-            key = (mask_key, epochs)
+        def get_vphase(mask_key, mask, epochs, sticky_first=True):
+            # sticky_first only splits the cache when compat_sticky_eval is
+            # on (otherwise it's ignored by the program — one cache entry)
+            key = (mask_key, epochs,
+                   sticky_first if self.cfg.compat_sticky_eval else True)
             if key not in vphase_cache:
-                phase = self.inner.build_phase_fn(mask, epochs, n_train, n_test)
+                phase = self.inner.build_phase_fn(
+                    mask, epochs, n_train, n_test, sticky_first=sticky_first
+                )
                 vphase_cache[key] = jax.jit(
                     jax.vmap(phase, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
                     donate_argnums=(0, 2),
@@ -205,7 +201,10 @@ class SubjectParallelTrainer:
             while remaining > 0:
                 chunk_epochs = min(chunk_size, remaining)
                 t_chunk = time.perf_counter()
-                vphase = get_vphase(phase_cfg.freeze, mask, chunk_epochs)
+                vphase = get_vphase(
+                    phase_cfg.freeze, mask, chunk_epochs,
+                    sticky_first=remaining == phase_cfg.epochs,
+                )
                 params, bstats, opt_state, rngs, (lh, trh, teh, el), logits = vphase(
                     params, bstats, opt_state, rngs, tr_x, tr_y, te_x, te_y, lr
                 )

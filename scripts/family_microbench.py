@@ -1,6 +1,9 @@
 """Chip microbench for the NON-flagship model families: the production
-JitTrainer train step (`train/loop.py _phase_pieces` — the literal step the
-sweep executes) at each family's reference protocol shape:
+train_step body (`train/loop.py _phase_pieces`) at each family's reference
+protocol shape. Measured under a per-step jit; the sweep runs the same body
+inside the fused lax.scan phase program, which XLA fuses differently, so
+ms/step can drift slightly from production (see the stacked-vs-serial
+fusion-divergence note in CLAUDE.md):
 
 - conformer_eeg  (`Transformer_torch/Transformer_EEG.py:221-247`): bs 32,
   (30, 500) trials, 485-epoch protocol.
@@ -86,7 +89,15 @@ def bench_preset(preset_name: str, x: np.ndarray, y: np.ndarray,
     line = f"{preset_name}{label}: bs={bs} step={dt*1e3:.2f} ms  {sps:,.1f} samples/s"
     if flops_per_sample:
         achieved = sps * flops_per_sample
-        line += f"  ({achieved/1e12:.1f} TFLOP/s, {100*achieved/197e12:.1f}% of v5e peak)"
+        # dtype-appropriate v5e MXU peak: 197 TFLOP/s bf16, ~98.5 f32
+        is_bf16 = (preset.finetune.model_kwargs or {}).get("compute_dtype") in (
+            "bfloat16", jnp.bfloat16,
+        )
+        peak = 197e12 if is_bf16 else 98.5e12
+        line += (
+            f"  ({achieved/1e12:.1f} TFLOP/s, {100*achieved/peak:.1f}% of "
+            f"v5e {'bf16' if is_bf16 else 'f32'} peak)"
+        )
     print(line, flush=True)
     return sps
 

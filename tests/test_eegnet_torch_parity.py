@@ -71,3 +71,54 @@ def test_eegnet_matches_torch_reference(rng):
 
     ours = np.asarray(model.apply(variables, x, train=False))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_torch_batchnorm_matches_torch(rng):
+    """models/norm.TorchBatchNorm == torch.nn.BatchNorm2d through a train
+    sequence: normalized outputs AND running stats (torch updates running_var
+    with the UNBIASED batch variance — the flax module uses the biased one,
+    which shifts every eval forward once stats have trained)."""
+    from eav_tpu.models.norm import TorchBatchNorm
+
+    import jax
+
+    feat = 6
+    m = TorchBatchNorm(use_running_average=False)
+    tm = torch.nn.BatchNorm2d(feat)
+    x0 = rng.normal(size=(4, 3, 5, feat)).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), x0)
+    stats = variables["batch_stats"]
+    with torch.no_grad():
+        tm.weight.copy_(torch.from_numpy(np.asarray(variables["params"]["scale"])))
+        tm.bias.copy_(torch.from_numpy(np.asarray(variables["params"]["bias"])))
+    tm.train()
+    for i in range(3):
+        x = rng.normal(size=(4, 3, 5, feat)).astype(np.float32) * (i + 1) + i
+        y, mut = m.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            x, mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+        # torch is NCHW
+        ty = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(
+            np.asarray(y), np.transpose(ty.detach().numpy(), (0, 2, 3, 1)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["mean"]), tm.running_mean.numpy(), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats["var"]), tm.running_var.numpy(), rtol=1e-5, atol=1e-6
+        )
+    # eval forwards use the accumulated stats identically
+    tm.eval()
+    xe = rng.normal(size=(4, 3, 5, feat)).astype(np.float32)
+    ye = TorchBatchNorm(use_running_average=True).apply(
+        {"params": variables["params"], "batch_stats": stats}, xe
+    )
+    tye = tm(torch.from_numpy(np.transpose(xe, (0, 3, 1, 2))))
+    np.testing.assert_allclose(
+        np.asarray(ye), np.transpose(tye.detach().numpy(), (0, 2, 3, 1)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -77,9 +77,11 @@ def test_resnet_bf16_compute_close_to_f32(rng):
     # init under bf16 compute must produce the identical f32 param tree
     # (param_dtype stays f32) so checkpoints import either way
     v_bf = bf_model.init(jax.random.PRNGKey(0), x, train=False)
-    for (pa, a), (pb, b) in zip(
-        sorted(_leaves(v["params"]).items()), sorted(_leaves(v_bf["params"]).items())
-    ):
+    fl, fl_bf = _leaves(v["params"]), _leaves(v_bf["params"])
+    # identical tree structure first, so the leaf-wise loop can't vacuously
+    # pass on a silently-divergent param tree
+    assert set(fl) == set(fl_bf)
+    for (pa, a), (pb, b) in zip(sorted(fl.items()), sorted(fl_bf.items())):
         assert pa == pb and a.dtype == b.dtype == jnp.float32
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=pa)
     ref = base.apply(v, x, train=False)
@@ -87,6 +89,15 @@ def test_resnet_bf16_compute_close_to_f32(rng):
     assert bf.dtype == ref.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(bf), np.asarray(ref), rtol=0.15, atol=0.3)
     assert not np.array_equal(np.asarray(bf), np.asarray(ref))
+    # BN running stats must stay f32 through a bf16 TRAIN step too — the
+    # eval-only check would let a Flax default change silently demote the
+    # checkpointed batch_stats dtype
+    _, mut = bf_model.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    for path, leaf in _leaves(mut["batch_stats"]).items():
+        assert leaf.dtype == jnp.float32, path
 
 
 def test_resnet_freeze_regex():
