@@ -15,10 +15,11 @@ Numerical parity:
   zero-pad to 1024 frames) — required for AST checkpoint parity; golden
   tests vs the HF implementation in tests/test_spectral.py.
 - mel/MFCC follow librosa conventions (slaney mel, power_to_db with top_db
-  80, DCT-II ortho); chroma follows librosa.filters.chroma with tuning=0
-  (librosa's default estimates tuning per clip — a deliberate, documented
-  deviation that only affects our own retrained SCNN, not a pretrained
-  checkpoint).
+  80, DCT-II ortho); chroma follows librosa.feature.chroma_stft INCLUDING
+  its default per-clip tuning estimation (``estimate_tuning_power`` — the
+  piptrack + pitch_tuning pipeline as a jittable op; the tuned filter bank
+  is gathered from a precomputed table over the estimator's own 0.01-bin
+  grid, so the batched frontend stays one fused device program).
 """
 
 from __future__ import annotations
@@ -274,14 +275,133 @@ def mfcc(
     return S_db @ dct_m
 
 
-def chroma_stft(
-    y: jnp.ndarray, sr: int = 22050, n_chroma: int = 12, n_fft: int = 2048, hop: int = 512
+@functools.lru_cache(maxsize=8)
+def _chroma_bank_table(
+    sampling_rate: int, n_fft: int, n_chroma: int, resolution: float
+) -> np.ndarray:
+    """(n_grid, n_chroma, bins) chroma filter banks, one per quantized tuning
+    value. librosa's ``estimate_tuning`` returns a value from the fixed grid
+    ``linspace(-0.5, 0.5, ceil(1/resolution)+1)`` (its pitch-residual
+    histogram's left edges), so a table over that grid makes per-clip tuned
+    chroma a GATHER + one batched matmul instead of a per-clip host
+    rebuild — the whole SCNN frontend stays a single fused device program."""
+    grid = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)[:-1]
+    return np.stack(
+        [chroma_filter_bank(sampling_rate, n_fft, n_chroma, tuning=t) for t in grid]
+    )
+
+
+def estimate_tuning_power(
+    power: jnp.ndarray,
+    sr: int,
+    n_fft: int,
+    bins_per_octave: int = 12,
+    fmin: float = 150.0,
+    fmax: float = 4000.0,
+    threshold: float = 0.1,
+    resolution: float = 0.01,
 ) -> jnp.ndarray:
-    """librosa.feature.chroma_stft equivalent (tuning=0): (..., frames, n_chroma),
-    per-frame inf-norm normalized."""
+    """librosa ``estimate_tuning`` on a power spectrogram — jittable.
+
+    (..., frames, bins) -> (...,) int32 index into the tuning grid
+    ``linspace(-0.5, 0.5, ceil(1/resolution)+1)`` (tuning in fractional
+    chroma bins = -0.5 + idx * resolution). Exactly librosa's pipeline
+    (pitch.py piptrack -> pitch_tuning, the audio notebook's implicit default
+    — C14 cell0: ``librosa.feature.chroma_stft`` estimates tuning per clip):
+
+    - parabolic interpolation of spectral peaks (localmax over bins above
+      ``threshold * frame_max``, within [fmin, min(fmax, sr/2)));
+    - keep candidates with magnitude >= the median candidate magnitude;
+    - histogram of pitch residuals ``mod(bpo * log2(f/(A440/16)), 1)`` folded
+      to [-0.5, 0.5); the densest bin's left edge is the tuning.
+    """
+    S = power
+    f32 = S.dtype
+    # parabolic peak interpolation along the bin axis (librosa piptrack)
+    Sm1, S0, Sp1 = S[..., :-2], S[..., 1:-1], S[..., 2:]
+    avg = 0.5 * (Sp1 - Sm1)
+    denom = 2.0 * S0 - Sp1 - Sm1
+    tiny = jnp.finfo(f32).tiny
+    shift = avg / (denom + (jnp.abs(denom) < tiny).astype(f32))
+    pad = [(0, 0)] * (S.ndim - 1) + [(1, 1)]
+    avg = jnp.pad(avg, pad)
+    shift = jnp.pad(shift, pad)
+    dskew = 0.5 * avg * shift
+    # candidate mask: in-band local maxima above threshold * frame max
+    fft_freqs = np.arange(S.shape[-1]) * sr / n_fft
+    freq_mask = jnp.asarray(
+        (fmin <= fft_freqs) & (fft_freqs < min(fmax, sr / 2.0))
+    )
+    ref = threshold * jnp.max(S, axis=-1, keepdims=True)
+    Sm = S * (S > ref).astype(f32)
+    left = jnp.pad(Sm[..., :-1], pad[:-1] + [(1, 0)], mode="edge")
+    right = jnp.pad(Sm[..., 1:], pad[:-1] + [(0, 1)], mode="edge")
+    localmax = (Sm > left) & (Sm >= right)
+    cand = freq_mask & localmax
+    pitches = jnp.where(
+        cand, (jnp.arange(S.shape[-1]) + shift) * (sr / n_fft), 0.0
+    )
+    mags = jnp.where(cand, S + dskew, 0.0)
+    # per-clip flatten over (frames, bins)
+    batch = S.shape[:-2]
+    pitches = pitches.reshape(batch + (-1,))
+    mags = mags.reshape(batch + (-1,))
+    mask = pitches > 0
+    # median of candidate magnitudes (masked median: sort with +inf fill)
+    n = jnp.sum(mask, axis=-1)
+    sorted_mags = jnp.sort(jnp.where(mask, mags, jnp.inf), axis=-1)
+    lo = jnp.take_along_axis(
+        sorted_mags, jnp.maximum((n[..., None] - 1) // 2, 0), axis=-1
+    )[..., 0]
+    hi = jnp.take_along_axis(sorted_mags, (n[..., None]) // 2, axis=-1)[..., 0]
+    median = jnp.where(n > 0, 0.5 * (lo + hi), 0.0)
+    keep = mask & (mags >= median[..., None])
+    # pitch residuals -> histogram over the tuning grid
+    residual = jnp.mod(
+        bins_per_octave * jnp.log2(jnp.where(mask, pitches, 1.0) * (16.0 / 440.0)),
+        1.0,
+    )
+    residual = jnp.where(residual >= 0.5, residual - 1.0, residual)
+    n_grid = int(np.ceil(1.0 / resolution))
+    edges = jnp.asarray(np.linspace(-0.5, 0.5, n_grid + 1))
+    # np.histogram semantics: bins[i] <= x < bins[i+1], last bin inclusive
+    bucket = jnp.clip(jnp.searchsorted(edges, residual, side="right") - 1, 0, n_grid - 1)
+    counts = jax.vmap(
+        lambda b, k: jnp.zeros(n_grid, jnp.int32).at[b].add(k.astype(jnp.int32))
+    )(bucket.reshape(-1, bucket.shape[-1]), keep.reshape(-1, keep.shape[-1]))
+    counts = counts.reshape(batch + (n_grid,))
+    idx = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    # no candidates at all -> tuning 0.0 (librosa pitch_tuning's empty case)
+    zero_idx = jnp.asarray(n_grid // 2, jnp.int32)  # grid value exactly 0.0
+    return jnp.where(n > 0, idx, zero_idx)
+
+
+def chroma_stft(
+    y: jnp.ndarray,
+    sr: int = 22050,
+    n_chroma: int = 12,
+    n_fft: int = 2048,
+    hop: int = 512,
+    tuning: Optional[float] = None,
+) -> jnp.ndarray:
+    """librosa.feature.chroma_stft equivalent: (..., frames, n_chroma),
+    per-frame inf-norm normalized.
+
+    ``tuning=None`` (the librosa and notebook default, C14 cell0) estimates
+    tuning PER CLIP via :func:`estimate_tuning_power` and gathers the
+    matching filter bank from the precomputed grid table — batched, jittable,
+    no host round trip. Pass an explicit float (e.g. 0.0) to pin it."""
     power = stft_mag_sq(y, n_fft, hop)
-    fb = jnp.asarray(chroma_filter_bank(sr, n_fft, n_chroma), power.dtype)
-    raw = power @ fb.T
+    if tuning is not None:
+        fb = jnp.asarray(chroma_filter_bank(sr, n_fft, n_chroma, tuning), power.dtype)
+        raw = power @ fb.T
+    else:
+        table = jnp.asarray(
+            _chroma_bank_table(sr, n_fft, n_chroma, 0.01), power.dtype
+        )
+        idx = estimate_tuning_power(power, sr, n_fft, bins_per_octave=n_chroma)
+        fb = table[idx]  # (..., n_chroma, bins)
+        raw = jnp.einsum("...fb,...cb->...fc", power, fb)
     mx = jnp.max(jnp.abs(raw), axis=-1, keepdims=True)
     return raw / jnp.maximum(mx, 1e-10)
 

@@ -114,58 +114,98 @@ def test_scnn180_shape_and_blocks(speechy):
     assert (feat[52:] >= 0).all()
 
 
-def test_chroma_tuning_deviation_quantified_bound():
-    """Quantified bound on the documented tuning=0 deviation (C14, VERDICT r2
-    weak #6): librosa estimates per-clip tuning t in [-0.5, 0.5) bins; we fix
-    t=0. The ONLY effect is a440 -> 440*2^(t/12) in the chroma filter bank
-    (`ops/spectral.chroma_filter_bank`), so the deviation of the 12 chroma
-    dims of the 180-d feature (each in [0, 1] after the per-frame inf-norm;
-    the other 168 dims are tuning-independent, hence exact) is bounded by the
-    worst case over that t range — measured here and pinned as a regression:
-
-      - quarter-tone-detuned harmonic tones (|t|=0.5, full pitch-class
-        reassignment — the analytic worst case): <= 0.80 per dim;
-      - broadband/noise-like content (|t|=0.5): <= 0.09 per dim;
-      - |t| <= 0.1 (well-tuned content): <= 0.14 per dim on speech-like
-        harmonic+jitter signals.
-    """
+def test_estimate_tuning_recovers_detuning():
+    """`estimate_tuning_power` (librosa estimate_tuning, jittable) recovers a
+    known detuning on synthetic harmonic tones. The algorithm's own parabolic
+    interpolation on the POWER spectrum (librosa chroma_stft feeds power=2
+    into the estimator) carries a measured sinusoidal bias of up to ~0.1
+    bins across the detuning range — inherent to librosa's method, not an
+    implementation gap (implementation exactness is pinned elementwise by
+    test_estimate_tuning_matches_numpy_reference). This replaced the round-3
+    quantified BOUND on the old tuning=0 deviation (C14, VERDICT r3 #4)."""
     import jax.numpy as jnp
 
     sr = 22050
-    rng = np.random.default_rng(0)
-    t = np.arange(int(0.5 * sr)) / sr
-    f0s = [82.4, 110, 146.8, 220, 261.63, 329.6, 440]
+    t = np.arange(int(1.0 * sr)) / sr
+    for d in (-0.37, -0.2, -0.04, 0.0, 0.13, 0.33, 0.45):
+        f0 = 220.0 * 2.0 ** (d / 12.0)
+        y = sum(np.sin(2 * np.pi * f0 * k * t) / k for k in range(1, 6))
+        power = spectral.stft_mag_sq(jnp.asarray(y, jnp.float32), 2048, 512)
+        idx = int(spectral.estimate_tuning_power(power, sr, 2048))
+        est = -0.5 + idx * 0.01
+        assert abs(est - d) <= 0.11, (d, est)
 
-    def chroma_mean(power, fb):
-        raw = power @ fb.T
-        mx = np.maximum(np.abs(raw).max(-1, keepdims=True), 1e-10)
-        return (raw / mx).mean(-2)
 
-    def worst(signals, tunings):
-        fb0 = spectral.chroma_filter_bank(sr, 2048, 12, 0.0)
-        w = 0.0
-        for tun in tunings:
-            fbt = spectral.chroma_filter_bank(sr, 2048, 12, tun)
-            for s in signals:
-                p = np.asarray(spectral.stft_mag_sq(jnp.asarray(s, jnp.float32), 2048, 512))
-                w = max(w, float(np.abs(chroma_mean(p, fb0) - chroma_mean(p, fbt)).max()))
-        return w
+def test_estimate_tuning_matches_numpy_reference():
+    """The jnp implementation == a direct numpy transcription of librosa's
+    piptrack + pitch_tuning pipeline (librosa.core.pitch, not installed here)
+    on harmonic, noisy, and silent inputs — guards every masking/median/
+    histogram subtlety elementwise."""
+    import jax.numpy as jnp
 
-    harmonic = [
-        sum(np.sin(2 * np.pi * f * k * t) / k for k in range(1, 8)) for f in f0s
+    sr, n_fft, hop = 22050, 2048, 512
+
+    def np_reference(S, fmin=150.0, fmax=4000.0, threshold=0.1, bpo=12, resolution=0.01):
+        # S: (frames, bins) power spec; librosa works (bins, frames) — axes
+        # here follow ours, the math is identical
+        avg = 0.5 * (S[:, 2:] - S[:, :-2])
+        denom = 2 * S[:, 1:-1] - S[:, 2:] - S[:, :-2]
+        tiny = np.finfo(S.dtype).tiny
+        shift = avg / (denom + (np.abs(denom) < tiny))
+        avg = np.pad(avg, ((0, 0), (1, 1)))
+        shift = np.pad(shift, ((0, 0), (1, 1)))
+        dskew = 0.5 * avg * shift
+        freqs = np.arange(S.shape[1]) * sr / n_fft
+        freq_mask = (fmin <= freqs) & (freqs < min(fmax, sr / 2))
+        ref = threshold * S.max(axis=1, keepdims=True)
+        Sm = S * (S > ref)
+        pad = np.pad(Sm, ((0, 0), (1, 1)), mode="edge")
+        localmax = (Sm > pad[:, :-2]) & (Sm >= pad[:, 2:])
+        cand = freq_mask[None, :] & localmax
+        pitches = np.where(cand, (np.arange(S.shape[1])[None, :] + shift) * sr / n_fft, 0.0)
+        mags = np.where(cand, S + dskew, 0.0)
+        pitch_mask = pitches > 0
+        if not pitch_mask.any():
+            return 0.0
+        med = np.median(mags[pitch_mask])
+        sel = pitches[pitch_mask & (mags >= med)]
+        residual = np.mod(bpo * np.log2(sel * 16.0 / 440.0), 1.0)
+        residual[residual >= 0.5] -= 1.0
+        bins = np.linspace(-0.5, 0.5, int(np.ceil(1.0 / resolution)) + 1)
+        counts, edges = np.histogram(residual, bins)
+        return edges[np.argmax(counts)]
+
+    rng = np.random.default_rng(7)
+    t = np.arange(sr) / sr
+    signals = [
+        sum(np.sin(2 * np.pi * 220 * 2 ** (0.23 / 12) * k * t) / k for k in range(1, 6)),
+        rng.normal(size=t.shape),
+        0.3 * np.sin(2 * np.pi * 347.0 * t) + 0.1 * rng.normal(size=t.shape),
+        np.zeros_like(t),  # silent: the no-candidates -> 0.0 fallback
     ]
-    speechlike = []
-    for f in f0s:
-        f0 = f * (1 + 0.02 * np.sin(2 * np.pi * 3 * t))
-        phase = 2 * np.pi * np.cumsum(f0) / sr
-        speechlike.append(
-            sum(np.sin(k * phase) / k for k in range(1, 8))
-            + 0.1 * rng.normal(size=t.shape)
-        )
-    noise = [rng.normal(size=t.shape) for _ in range(3)]
+    for y in signals:
+        power = np.asarray(spectral.stft_mag_sq(jnp.asarray(y, jnp.float32), n_fft, hop))
+        idx = int(spectral.estimate_tuning_power(jnp.asarray(power), sr, n_fft))
+        ours = -0.5 + idx * 0.01
+        ref = np_reference(power)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
 
-    assert worst(harmonic, (-0.5, 0.5)) <= 0.80   # measured 0.776
-    assert worst(noise, (-0.5, 0.5)) <= 0.09      # measured 0.075
-    assert worst(speechlike, (-0.1, 0.1)) <= 0.14  # measured 0.124
-    # and the tuning-independent 168 dims really are independent of tuning:
-    # mel/MFCC take no tuning parameter at all (ops/spectral.py)
+
+def test_chroma_detuned_tone_exact_with_estimation():
+    """A quarter-tone-detuned A smears across pitch classes under the old
+    fixed tuning=0 bank but lands exactly on A (index 9) with the estimated
+    tuning — and the batched (vmapped) path equals per-clip calls."""
+    import jax.numpy as jnp
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    ys = np.stack([
+        np.sin(2 * np.pi * 440.0 * 2 ** (0.45 / 12) * t),
+        np.sin(2 * np.pi * 261.626 * 2 ** (-0.3 / 12) * t),
+    ]).astype(np.float32)
+    batched = np.asarray(spectral.chroma_stft(jnp.asarray(ys), sr)).mean(axis=-2)
+    assert int(np.argmax(batched[0])) == 9   # A
+    assert int(np.argmax(batched[1])) == 0   # C
+    for i in range(2):
+        single = np.asarray(spectral.chroma_stft(jnp.asarray(ys[i]), sr)).mean(axis=-2)
+        np.testing.assert_allclose(single, batched[i], rtol=1e-5, atol=1e-6)
