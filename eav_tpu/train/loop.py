@@ -22,6 +22,7 @@ Protocol parity:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
@@ -609,7 +610,6 @@ class JitTrainer:
         use_python_loop = jax.default_backend() == "cpu"
         start_phase = 0
         if checkpoint_dir is not None:
-            import os
 
             from eav_tpu.core.checkpoint import load_pytree, save_pytree
 
@@ -708,7 +708,11 @@ class JitTrainer:
                 # dispatch is issued while chunk N still executes — the
                 # round-3 vision journal's ~2x fit-wall spread (median 116 s
                 # vs min 53.8 s, identical work) pointed at dispatch/tunnel
-                # gaps between chunks, not compute (VERDICT r3 next #3)
+                # gaps between chunks, not compute (VERDICT r3 next #3).
+                # EAV_TPU_FENCE_CHUNKS=1 restores the round-3 per-chunk
+                # fence (A/B measurement knob, scripts/measure_*_flagship).
+                if os.environ.get("EAV_TPU_FENCE_CHUNKS") == "1":
+                    np.asarray(lh)
                 hist_loss.append(lh)
                 hist_tr.append(trh)
                 hist_te.append(teh)
