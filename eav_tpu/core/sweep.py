@@ -37,6 +37,18 @@ class TaskResult:
 
 TaskFn = Callable[[int, str], TaskResult]  # (subject, modality) -> result
 
+# Farm claim order: longest expected family first (LPT heuristic). The
+# pending list is modality-major in SweepConfig order, which typically puts
+# the LONGEST family (vision, measured ~141 s/subject round 3) at the TAIL —
+# the last vision task would then run alone while every other chip idles,
+# adding up to one full task length to the makespan. Ranks follow the
+# measured per-subject walls (docs/RUNBOOK.md): vision > audio > conformer >
+# EEGNet > SCNN; unknown modalities keep list position among themselves.
+_FARM_DURATION_RANK = {
+    "vision": 0, "vision_resnet": 1, "audio": 2, "eeg_conformer": 3,
+    "eeg": 4, "audio_scnn": 5,
+}
+
 
 def _read_jsonl(path: str) -> List[dict]:
     if not os.path.exists(path):
@@ -197,7 +209,16 @@ class SweepRunner:
         import threading
 
         state = self.journal_state()
-        tasks = self.pending_tasks()
+        # fusion consumes the OTHER modalities' archived logits
+        # (pipeline.run_fusion): farmed concurrently with its producers it
+        # would read half-written archives or fail on missing ones. Defer it
+        # to the caller's serial pass (cli._run_sweep's catch-all) — at ~1 s
+        # per 100-epoch logit-head fit, 42 fusion tasks cost under 2 min
+        # serial, noise next to the farmed legs.
+        tasks = [t for t in self.pending_tasks() if t[1] != "fusion"]
+        # longest-expected-first across families; stable, so subject order
+        # within a family is preserved (see _FARM_DURATION_RANK)
+        tasks.sort(key=lambda t: _FARM_DURATION_RANK.get(t[1], 50))
         claim_lock = threading.Lock()
         pos = [0]
 

@@ -1,19 +1,16 @@
-"""Repeat-measure the warm AST audio subject protocol on the real chip.
+"""Repeat-measure the warm ViT vision subject protocol on the real chip.
 
-The dev-tunnel runtime has large run-to-run variance (round 3: vision fit
-median 116 s vs min 53.8 s on identical work; round 4 saw warm audio 202 s
-then 96 s in consecutive invocations), so single warm numbers are not
-conclusive. This script runs ONE process, warms every program on subject 1,
-then times N repeats of the full warm per-subject protocol through the
-production `ModalityPipelines.run_audio` path and prints each wall plus the
-median — the robust per-subject number for RUNBOOK tables.
+Same methodology as scripts/measure_audio_repeats.py: the dev-tunnel runtime
+has large run-to-run variance (round 3's vision journal: fit median 116 s vs
+min 53.8 s on identical work), so single warm numbers are not conclusive.
+One process warms every program on subject 1, then times N repeats of the
+full warm per-subject protocol through the production
+`ModalityPipelines.run_vision` path and prints each wall plus the median.
 
-Usage: python scripts/measure_audio_repeats.py [--reps 4] [--ab]
-A/B the chunk-dispatch pipelining with EAV_TPU_FENCE_CHUNKS=1 (round-3
-per-chunk fencing) vs unset (round-4 queued dispatch). ``--ab`` interleaves
-the two arms within one process (fence 1,0,1,0,... per repeat; the knob is
-read per chunk at runtime) so tunnel drift between arms cancels — separate
-invocations of the two arms hours apart measure the tunnel, not the code.
+Usage: python scripts/measure_vision_repeats.py [--reps 4] [--ab]
+``--ab`` interleaves EAV_TPU_FENCE_CHUNKS 1/0 per repeat (fence arm first so
+a pipelined repeat can't leak queued work into the fenced one) — the
+in-process interleave cancels tunnel drift between the two arms.
 """
 
 import argparse
@@ -38,7 +35,7 @@ def main():
                     help="alternate EAV_TPU_FENCE_CHUNKS 1/0 per repeat")
     ap.add_argument("--epochs-per-call", type=int, default=2)
     ap.add_argument("--epc-target-seconds", type=float, default=45.0)
-    ap.add_argument("--out", default="/tmp/audio_repeats")
+    ap.add_argument("--out", default="/tmp/vision_repeats")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +44,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert jax.devices()[0].platform != "cpu", "this measures the TPU path"
 
-    from measure_audio_flagship import make_audio_cache
+    from measure_vision_flagship import make_vision_cache
 
     from eav_tpu.train.pipeline import ModalityPipelines, default_presets
 
@@ -61,21 +58,19 @@ def main():
         epc_target_seconds=args.epc_target_seconds or None,
     )
     subjects = list(range(1, args.reps + 2))
-    make_audio_cache(pipelines.cache_dir, subjects, presets["audio"].audio)
+    make_vision_cache(pipelines.cache_dir, subjects, presets["vision"].vision)
 
     t0 = time.perf_counter()
-    pipelines.run_audio(subjects[0])  # compile/load every program
+    pipelines.run_vision(subjects[0])  # compile/load every program
     print(json.dumps({"cold_seconds": round(time.perf_counter() - t0, 1)}), flush=True)
 
     walls, fits, fences = [], [], []
     for i, s in enumerate(subjects[1:]):
         if args.ab:
-            # fence arm first: its chunk boundaries flush the dispatch queue,
-            # so a preceding pipelined repeat can't leak work into it
             os.environ["EAV_TPU_FENCE_CHUNKS"] = "1" if i % 2 == 0 else "0"
         fences.append(os.environ.get("EAV_TPU_FENCE_CHUNKS", "0"))
         t0 = time.perf_counter()
-        r = pipelines.run_audio(s)
+        r = pipelines.run_vision(s)
         walls.append(round(time.perf_counter() - t0, 1))
         fits.append(r.metrics["fit_seconds"])
         print(json.dumps({"warm_wall_s": walls[-1], "fit_s": fits[-1],
@@ -86,7 +81,7 @@ def main():
         af = [x for x, f in zip(fits, fences) if f == arm]
         med = float(np.median(aw))
         print(json.dumps({
-            "metric": "ast_subject_protocol_median",
+            "metric": "vit_subject_protocol_median",
             "fence_chunks": arm,
             "warm_walls_s": aw,
             "median_warm_s": med,

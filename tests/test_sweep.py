@@ -412,3 +412,40 @@ def test_run_farmed_balances_when_tasks_equal_workers(tmp_path):
     state = runner.run_farmed(workers, verbose=False)
     assert all(r["status"] == "done" for r in state.values())
     assert {r["worker"] for r in state.values()} == {0, 1}
+
+
+def test_run_farmed_lpt_order_and_fusion_deferred(tmp_path):
+    """(a) The farm claims the longest family FIRST (vision before audio
+    before eeg) regardless of SweepConfig's modality order, so a straggler
+    vision task never runs alone at the tail while other chips idle;
+    (b) fusion tasks are NOT farmed — they consume the other modalities'
+    archived logits, so they wait for the serial catch-all pass
+    (cli._run_sweep) after every producer is journaled done."""
+
+    class W:
+        def __init__(self, order):
+            self.name = "dev0"
+            self.prefetch_fn = None
+            self._order = order
+
+        def task_fn(self, subject, modality):
+            self._order.append((subject, modality))
+            return TaskResult(metrics={"accuracy": 0.5})
+
+    order = []
+    cfg = _cfg(
+        tmp_path, subjects=(1, 2),
+        modalities=("eeg", "audio", "vision", "fusion"),
+    )
+    runner = SweepRunner(cfg, lambda s, m: TaskResult(metrics={"accuracy": 0.5}))
+    state = runner.run_farmed([W(order)], verbose=False)
+    mods = [m for _, m in order]
+    assert mods == ["vision", "vision", "audio", "audio", "eeg", "eeg"], order
+    # subject order within a family is preserved (stable sort)
+    assert [s for s, m in order if m == "vision"] == [1, 2]
+    # fusion left pending for the serial pass, everything else done
+    assert sorted(runner.pending_tasks()) == [(1, "fusion"), (2, "fusion")]
+    assert all(r["status"] == "done" for r in state.values())
+    state = runner.run(verbose=False)
+    assert state["subject01_fusion"]["status"] == "done"
+    assert runner.pending_tasks() == []
