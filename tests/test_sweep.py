@@ -449,3 +449,26 @@ def test_run_farmed_lpt_order_and_fusion_deferred(tmp_path):
     state = runner.run(verbose=False)
     assert state["subject01_fusion"]["status"] == "done"
     assert runner.pending_tasks() == []
+
+
+def test_farm_makespan_replay_efficiency():
+    """Replaying the committed round-3 hardware journal through the real
+    run_farmed scheduler (scripts/farm_makespan.py) must produce a balanced
+    8-worker schedule: makespan within 15% of the perfect-split lower bound
+    (sum/8). Guards the LPT claim order — with vision at the claim tail the
+    last ~141 s task runs alone and efficiency drops well below this."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/farm_makespan.py", "--scale", "0.001"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.splitlines()]
+    proj = [r for r in rows if r.get("metric") == "farm_makespan_projection"][0]
+    assert proj["n_workers"] == 8
+    # at scale 0.001 each sleep is 20-350 ms; scheduling overhead is ~ms/task
+    assert proj["schedule_efficiency"] > 0.85, proj
+    assert proj["projected_total_min"] < proj["single_chip_total_min"] / 4, proj
