@@ -303,18 +303,10 @@ def _make_aligned_subject(root, rng, subject=1):
         w.release()
 
 
-@pytest.mark.slow
-def test_strict_fusion_end_to_end(tmp_path, rng):
-    """Aligned tri-modal subject through run_fusion(strict=True): the
-    production path (VERDICT round-1 weak: fusion only ever ran strict=False
-    on misaligned data), plus fusion over an alternative model family."""
-    root = tmp_path / "EAV"
-    root.mkdir()
-    _make_aligned_subject(root, rng, subject=1)
-    out = tmp_path / "run"
+def _aligned_presets():
+    """_tiny_presets aligned to _make_aligned_subject's 20-sample layout:
+    EEG 8 s = ONE chunk, vision 12 strided frames -> 4 samples of 3."""
     presets = _tiny_presets()
-    # align the tiny presets to the 20-sample layout: EEG 8 s = ONE chunk,
-    # vision 12 strided frames -> 4 samples of 3
     presets["eeg"] = dataclasses.replace(
         presets["eeg"],
         eeg=EEGPreprocConfig(channels=CH, trial_seconds=8.0, chunk_seconds=8.0),
@@ -332,6 +324,19 @@ def test_strict_fusion_end_to_end(tmp_path, rng):
         ),
         finetune=dataclasses.replace(presets["vision"].finetune, vote_group=3),
     )
+    return presets
+
+
+@pytest.mark.slow
+def test_strict_fusion_end_to_end(tmp_path, rng):
+    """Aligned tri-modal subject through run_fusion(strict=True): the
+    production path (VERDICT round-1 weak: fusion only ever ran strict=False
+    on misaligned data), plus fusion over an alternative model family."""
+    root = tmp_path / "EAV"
+    root.mkdir()
+    _make_aligned_subject(root, rng, subject=1)
+    out = tmp_path / "run"
+    presets = _aligned_presets()
     pipelines = ModalityPipelines(
         data_root=str(root), cache_dir=str(out / "cache"),
         logits_dir=str(out / "logits"), presets=presets,
@@ -353,3 +358,51 @@ def test_strict_fusion_end_to_end(tmp_path, rng):
     # two-modality fusion exercises the num_modalities clone path
     fus3 = pipelines.run_fusion(1, strict=True, mods=("eeg", "vision"))
     assert 0.0 <= fus3.metrics["accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_farmed_trimodal_with_fusion_catchall(tmp_path, rng):
+    """The exact composition cli._run_sweep executes for a farmed tri-modal
+    sweep: run_farmed spreads the eeg/audio/vision fine-tunes over two
+    device-bound workers (real ModalityPipelines per worker, real ingest ->
+    fit -> logit archive) and DEFERS fusion; the serial catch-all pass then
+    runs strict fusion over the farmed workers' archives. Guards the whole
+    farm -> archives -> fusion dependency chain that the runner-level unit
+    test (tests/test_sweep.py) only mocks."""
+    import jax
+
+    from eav_tpu.parallel.farm import device_workers
+
+    root = tmp_path / "EAV"
+    root.mkdir()
+    for s in (1, 2):
+        _make_aligned_subject(root, rng, subject=s)
+    out = tmp_path / "run"
+
+    def make_pipelines():
+        return ModalityPipelines(
+            data_root=str(root), cache_dir=str(out / "cache"),
+            logits_dir=str(out / "logits"), presets=_aligned_presets(),
+        )
+
+    cfg = SweepConfig(
+        subjects=(1, 2),
+        modalities=("eeg", "audio", "vision", "fusion"),
+        journal_path=str(out / "journal.jsonl"),
+        metrics_path=str(out / "metrics.jsonl"),
+    )
+    runner = SweepRunner(cfg, make_pipelines().task_fn)
+    workers = device_workers(make_pipelines, devices=jax.devices()[:2])
+    state = runner.run_farmed(workers, verbose=False)
+    # every producer done across (at least) two devices; fusion deferred
+    assert sorted(runner.pending_tasks()) == [(1, "fusion"), (2, "fusion")]
+    assert all(r["status"] == "done" for r in state.values())
+    assert len({r["device"] for r in state.values()}) == 2, state
+    # archives aligned (10 train rows per modality per subject) -> the
+    # catch-all serial pass completes strict fusion from the farmed outputs
+    state = runner.run(verbose=False)
+    for s in (1, 2):
+        rec = state[f"subject{s:02d}_fusion"]
+        assert rec["status"] == "done"
+    agg = runner.aggregate()
+    assert 0.0 <= agg["fusion"]["mean_accuracy"] <= 1.0
