@@ -122,17 +122,22 @@ _STACK_CAPS = {"eeg": 8, "eeg_conformer": 8, "audio": 1, "audio_scnn": 8,
 
 
 def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
-    if args.subject_parallel > 1:
-        for mod, cap in _STACK_CAPS.items():
-            if mod in cfg.modalities:
-                group = min(args.subject_parallel, cap)
-                if group > 1:
-                    runner.run_batched(
-                        mod,
-                        lambda subs, m=mod: pipelines.run_stacked(subs, m),
-                        group_size=group,
-                        prefetch_fn=pipelines.prefetch,
-                    )
+    # stacked subject-parallel families (group > 1 after capping)
+    stacked = [
+        (mod, min(args.subject_parallel, cap))
+        for mod, cap in _STACK_CAPS.items()
+        if mod in cfg.modalities and min(args.subject_parallel, cap) > 1
+    ] if args.subject_parallel > 1 else []
+
+    def stacked_pass():
+        for mod, group in stacked:
+            runner.run_batched(
+                mod,
+                lambda subs, m=mod: pipelines.run_stacked(subs, m),
+                group_size=group,
+                prefetch_fn=pipelines.prefetch,
+            )
+
     if getattr(args, "chip_parallel", 1) > 1:
         # cross-chip task farm: the serial-policy tasks (audio AST, vision
         # ViT — one fine-tune saturates a chip, cli _STACK_CAPS) spread ONE
@@ -148,8 +153,26 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
                 f"--chip-parallel {n} requested but only "
                 f"{len(jax.devices())} devices are visible"
             )
-        workers = device_workers(make_pipelines, devices=jax.devices()[:n])
-        runner.run_farmed(workers, verbose=True)
+        devices = jax.devices()[:n]
+        workers = device_workers(make_pipelines, devices=devices)
+        if stacked:
+            # overlap: worker 0 drives the stacked families on its device
+            # as its farm setup, then joins the claim loop — every chip
+            # busy from t=0 instead of 7 idling through the stacked pass.
+            # (jax.default_device is thread-local; run_batched's prefetch
+            # daemon threads fall back to the process default device, which
+            # IS devices[0] — consistent either way.)
+            def stacked_setup(_d=devices[0]):
+                with jax.default_device(_d):
+                    stacked_pass()
+
+            workers[0] = workers[0]._replace(setup_fn=stacked_setup)
+        runner.run_farmed(
+            workers, verbose=True,
+            exclude_modalities=[m for m, _ in stacked],
+        )
+    elif stacked:
+        stacked_pass()
     # serial pass: everything still pending — the whole sweep in the default
     # mode, or only retries/fallbacks after a farm run. Overlaps the NEXT
     # subject's ingest + H2D with the current fit (core/sweep.py run

@@ -55,10 +55,19 @@ def _read_jsonl(path: str) -> List[dict]:
         return []
     out = []
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                out.append(json.loads(line))
+        lines = [l.strip() for l in f]
+    for i, line in enumerate(lines):
+        if not line:
+            continue
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            # a torn FINAL line can be seen by a reader in another process
+            # (watchdog tail, concurrent CLI) racing an append; treat it as
+            # not-yet-written. Corruption anywhere else is a real error.
+            if i == len(lines) - 1:
+                break
+            raise
     return out
 
 
@@ -82,7 +91,14 @@ class SweepRunner:
         return f"subject{subject:02d}_{modality}"
 
     def journal_state(self) -> Dict[str, dict]:
-        """Latest journal record per task id."""
+        """Latest journal record per task id. Read under the log lock: the
+        overlapped farm (a worker's stacked setup_fn calling run_batched
+        while other workers journal their tasks) reads and appends this
+        file concurrently within one process."""
+        with self._log_lock:
+            return self._journal_state_unlocked()
+
+    def _journal_state_unlocked(self) -> Dict[str, dict]:
         state: Dict[str, dict] = {}
         for rec in _read_jsonl(self.cfg.journal_path):
             if "task" in rec:  # skip event records (e.g. farm summaries)
@@ -185,7 +201,12 @@ class SweepRunner:
                 prefetch_thread.join()
         return state
 
-    def run_farmed(self, workers: Sequence, verbose: bool = True) -> Dict[str, dict]:
+    def run_farmed(
+        self,
+        workers: Sequence,
+        verbose: bool = True,
+        exclude_modalities: Sequence[str] = (),
+    ) -> Dict[str, dict]:
         """Cross-chip task farm: ``len(workers)`` device-bound workers
         concurrently pull pending (subject, modality) tasks — ONE serial
         fine-tune per chip, all chips busy. This is the TPU-native scale-out
@@ -205,17 +226,30 @@ class SweepRunner:
         so ingest/H2D overlaps device compute per chip, like the serial
         path's prefetch. A farm summary row (per-worker busy seconds, tasks,
         makespan — the accounting behind the v5e-8 wall-clock claims) is
-        appended to the metrics JSONL."""
+        appended to the metrics JSONL.
+
+        ``exclude_modalities``: families the caller drives through another
+        scheduler concurrently with this farm — cli._run_sweep excludes the
+        stacked subject-parallel families, which worker 0's ``setup_fn``
+        (below) runs through ``run_batched`` on its own device before
+        joining the claim loop, so every chip is busy from t=0. Fusion is
+        ALWAYS excluded: it consumes the other modalities' archived logits
+        (pipeline.run_fusion); farmed concurrently with its producers it
+        would read half-written archives or fail on missing ones. It runs
+        in the caller's serial catch-all — at ~1 s per 100-epoch
+        logit-head fit, 42 fusion tasks cost under 2 min serial, noise
+        next to the farmed legs.
+
+        A worker's optional ``setup_fn`` (parallel/farm.DeviceWorker) runs
+        on the worker's thread BEFORE its first claim; its wall time counts
+        toward that worker's busy seconds in the farm summary. A setup
+        failure is logged and the worker proceeds to the claim loop — the
+        setup's own tasks stay pending for the serial catch-all."""
         import threading
 
         state = self.journal_state()
-        # fusion consumes the OTHER modalities' archived logits
-        # (pipeline.run_fusion): farmed concurrently with its producers it
-        # would read half-written archives or fail on missing ones. Defer it
-        # to the caller's serial pass (cli._run_sweep's catch-all) — at ~1 s
-        # per 100-epoch logit-head fit, 42 fusion tasks cost under 2 min
-        # serial, noise next to the farmed legs.
-        tasks = [t for t in self.pending_tasks() if t[1] != "fusion"]
+        excluded = set(exclude_modalities) | {"fusion"}
+        tasks = [t for t in self.pending_tasks() if t[1] not in excluded]
         # longest-expected-first across families; stable, so subject order
         # within a family is preserved (see _FARM_DURATION_RANK)
         tasks.sort(key=lambda t: _FARM_DURATION_RANK.get(t[1], 50))
@@ -250,6 +284,15 @@ class SweepRunner:
                 print(f"[farm] prefetch subject{subject:02d} {modality} failed ({e})")
 
         def worker_loop(widx, w):
+            setup = getattr(w, "setup_fn", None)
+            if setup is not None:
+                t0 = time.perf_counter()
+                try:
+                    setup()
+                except Exception as e:  # noqa: BLE001 — keep the worker alive
+                    print(f"[farm] worker {widx} setup failed ({e}); "
+                          "its tasks stay pending for the serial pass")
+                per_worker[widx]["busy_s"] += time.perf_counter() - t0
             cur = claim()
             while cur is not None:
                 nxt = claim(ahead=True)
@@ -359,14 +402,18 @@ class SweepRunner:
                     subject=s, modality=modality,
                     wall_clock_s=round(wall / len(group), 3),
                 )
-                _append_jsonl(self.cfg.metrics_path, metrics)
                 rec = {
                     "task": tid, "status": "done",
                     "attempts": state.get(tid, {}).get("attempts", 0) + 1,
                     "wall_clock_s": round(wall / len(group), 3),
                     "ts": time.time(),
                 }
-                _append_jsonl(self.cfg.journal_path, rec)
+                # under _log_lock: the stacked pass runs concurrently with
+                # run_farmed's worker threads when it is a farm worker's
+                # setup_fn (cli._run_sweep overlap)
+                with self._log_lock:
+                    _append_jsonl(self.cfg.metrics_path, metrics)
+                    _append_jsonl(self.cfg.journal_path, rec)
                 state[tid] = rec
             if verbose:
                 print(f"[sweep] {modality} subjects {group} done in {wall:.1f}s")
@@ -398,7 +445,8 @@ class SweepRunner:
                 metrics = dict(result.metrics)
                 metrics.update(subject=s, modality=modality,
                                wall_clock_s=round(wall, 3))
-                _append_jsonl(self.cfg.metrics_path, metrics)
+                with self._log_lock:
+                    _append_jsonl(self.cfg.metrics_path, metrics)
                 rec = {
                     "task": tid, "status": "done",
                     "attempts": state.get(tid, {}).get("attempts", 0) + 1,
@@ -415,7 +463,8 @@ class SweepRunner:
                     "traceback": traceback.format_exc(limit=5),
                     "ts": time.time(),
                 }
-            _append_jsonl(self.cfg.journal_path, rec)
+            with self._log_lock:
+                _append_jsonl(self.cfg.journal_path, rec)
             state[tid] = rec
             if verbose and rec["status"] == "failed":
                 print(f"[sweep] {tid} FAILED ({rec['error']})")

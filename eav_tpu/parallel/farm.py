@@ -34,11 +34,19 @@ from typing import Callable, List, NamedTuple, Optional, Sequence
 
 class DeviceWorker(NamedTuple):
     """One farm worker: ``task_fn``/``prefetch_fn`` are already bound to the
-    worker's device; ``name`` labels its journal records."""
+    worker's device; ``name`` labels its journal records.
+
+    ``setup_fn``: optional work this worker runs on its thread BEFORE
+    joining the claim loop (sweep.SweepRunner.run_farmed). cli._run_sweep
+    uses it to drive the stacked subject-parallel pass on worker 0's device
+    concurrently with the other workers farming the serial-policy tasks —
+    so every chip is busy from t=0 and chip 0 joins the farm the moment the
+    stacked families finish."""
 
     name: str
     task_fn: Callable  # (subject, modality) -> TaskResult
     prefetch_fn: Optional[Callable] = None  # (subject, modality) -> None
+    setup_fn: Optional[Callable] = None  # () -> None, pre-claim-loop work
 
 
 def device_workers(

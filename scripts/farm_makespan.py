@@ -14,9 +14,10 @@ reported makespan is the schedule the farm would actually produce on a
 v5e-8 given those measured task walls.
 
 The projection composes like the CLI's `--subject-parallel 8
---chip-parallel 8` path (cli._run_sweep): stacked EEG groups first (one
-chip, journal group walls), then the farmed serial-policy tasks, then the
-serial fusion pass.
+--chip-parallel 8` path (cli._run_sweep): worker 0 drives the stacked EEG
+groups on its chip as farm setup (journal group walls) while workers 1-7
+farm the serial-policy tasks, worker 0 joins the claim loop when the
+stacked pass finishes, and the serial fusion pass follows.
 
 Usage: python scripts/farm_makespan.py [--workers 8] [--scale 0.02]
                                        [--metrics docs/results/sweep_full_metrics.jsonl]
@@ -103,15 +104,23 @@ def main():
             return TaskResult(metrics={"accuracy": 0.0})
 
         class W:
-            def __init__(self, i):
+            def __init__(self, i, setup_fn=None):
                 self.name = f"simdev{i}"
                 self.prefetch_fn = None
                 self.task_fn = task_fn
+                self.setup_fn = setup_fn
 
+        # worker 0 mirrors cli._run_sweep's overlap: it drives the stacked
+        # EEG pass on its chip as farm setup, then joins the claim loop —
+        # the other workers farm audio/vision from t=0
+        workers = [
+            W(i, setup_fn=(lambda: time.sleep(stacked_s * args.scale))
+              if i == 0 else None)
+            for i in range(args.workers)
+        ]
         runner = SweepRunner(cfg, task_fn)
         t0 = time.perf_counter()
-        state = runner.run_farmed([W(i) for i in range(args.workers)],
-                                  verbose=False)
+        state = runner.run_farmed(workers, verbose=False)
         sim_wall = time.perf_counter() - t0
         assert all(r["status"] == "done" for r in state.values())
         summary = [json.loads(l) for l in open(cfg.metrics_path)
@@ -120,9 +129,11 @@ def main():
     farm_s = sim_wall / args.scale
     busy = [b / args.scale for b in summary["busy_s"]]
     # scheduling overhead in the sim is claim-lock + thread wakeups, all
-    # host-side and identical in production; sleep granularity adds ~ms/task
-    lower_bound = serial_total / args.workers
-    total = stacked_s + farm_s + fusion_s
+    # host-side and identical in production; sleep granularity adds ~ms/task.
+    # The lower bound spreads ALL work (stacked included, since worker 0
+    # absorbs it as setup) perfectly over the workers.
+    lower_bound = (serial_total + stacked_s) / args.workers
+    total = farm_s + fusion_s
     print(json.dumps({
         "metric": "farm_makespan_projection",
         "n_workers": args.workers,
@@ -130,7 +141,7 @@ def main():
         "farmed_lower_bound_min": round(lower_bound / 60.0, 1),
         "schedule_efficiency": round(lower_bound / farm_s, 3),
         "per_worker_busy_min": [round(b / 60.0, 1) for b in busy],
-        "stacked_eeg_min": round(stacked_s / 60.0, 1),
+        "stacked_eeg_overlapped_min": round(stacked_s / 60.0, 1),
         "fusion_serial_min": round(fusion_s / 60.0, 1),
         "projected_total_min": round(total / 60.0, 1),
         "single_chip_total_min": round(

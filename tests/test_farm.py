@@ -125,6 +125,21 @@ def test_cli_chip_parallel_e2e(tmp_path):
         assert "device" in farmed[s]
     journal = [json.loads(l) for l in open(tmp_path / "farm" / "journal.jsonl")]
     assert all(r["status"] == "done" for r in journal if "task" in r)
+
+    # overlapped mode: --subject-parallel routes the stackable family to
+    # worker 0's setup (run_batched groups), the farm excludes it, and the
+    # farm summary reports zero farmed tasks but nonzero worker-0 busy time
+    # (the stacked pass it absorbed)
+    both = run(tmp_path / "overlap", [
+        "--chip-parallel", "2", "--subject-parallel", "2",
+    ])
+    for s in (1, 2, 3):
+        assert both[s]["accuracy"] == pytest.approx(serial[s]["accuracy"], abs=1e-6)
+        assert both[s].get("group_size") == 2 or both[s].get("group_size") == 1, both[s]
+    rows = [json.loads(l) for l in open(tmp_path / "overlap" / "metrics.jsonl")]
+    summary = [r for r in rows if r.get("event") == "farm_summary"][-1]
+    assert summary["n_tasks"] == 0  # eeg went through the stacked setup
+    assert summary["busy_s"][0] > 0.0  # worker 0 actually absorbed it
     # mutual exclusion with --data-parallel
     with pytest.raises(SystemExit):
         main([

@@ -2,6 +2,7 @@
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -472,3 +473,86 @@ def test_farm_makespan_replay_efficiency():
     # at scale 0.001 each sleep is 20-350 ms; scheduling overhead is ~ms/task
     assert proj["schedule_efficiency"] > 0.85, proj
     assert proj["projected_total_min"] < proj["single_chip_total_min"] / 4, proj
+
+
+def test_run_farmed_setup_overlap_and_exclusion(tmp_path):
+    """cli._run_sweep's overlapped composition at the runner level: worker
+    0's setup_fn (the stacked pass) runs on its thread WHILE worker 1 farms
+    tasks; the stacked family is excluded from the farm's claims; worker 0
+    joins the claim loop after setup; setup wall counts in the farm
+    summary's busy seconds."""
+    import threading
+
+    events = []
+    w1_done_a_task = threading.Event()
+
+    def task_fn(subject, modality):
+        events.append(("task", subject, modality))
+        w1_done_a_task.set()
+        return TaskResult(metrics={"accuracy": 0.5})
+
+    def setup_fn():
+        events.append(("setup_start",))
+        # real overlap: the OTHER worker must be able to finish a farmed
+        # task while this setup is still running
+        assert w1_done_a_task.wait(30), "worker 1 made no progress during setup"
+        time.sleep(0.05)  # measurable busy time
+        events.append(("setup_end",))
+
+    class W:
+        def __init__(self, name, setup=None):
+            self.name = name
+            self.prefetch_fn = None
+            self.task_fn = task_fn
+            self.setup_fn = setup
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4), modalities=("eeg", "audio"))
+    runner = SweepRunner(cfg, task_fn)
+    state = runner.run_farmed(
+        [W("dev0", setup_fn), W("dev1")], verbose=False,
+        exclude_modalities=("eeg",),
+    )
+    # only audio was farmed; eeg stays pending (the setup/stacked path owns it)
+    assert {m for _, _, m in [e for e in events if e[0] == "task"]} == {"audio"}
+    assert sorted(s for s, m in runner.pending_tasks() if m == "eeg") == [1, 2, 3, 4]
+    assert all(r["status"] == "done" for r in state.values())
+    # setup ran to completion before worker 0's first claim
+    assert ("setup_end",) in events
+    # setup time is accounted as worker-0 busy seconds in the farm summary
+    summary = [json.loads(l) for l in open(cfg.metrics_path)
+               if "farm_summary" in l][-1]
+    assert summary["busy_s"][0] >= 0.05
+
+
+def test_run_farmed_setup_failure_leaves_tasks_pending(tmp_path):
+    """A crashing setup_fn must not kill the worker: it logs, joins the
+    claim loop, and the setup's own (excluded) tasks stay pending for the
+    serial catch-all."""
+
+    def task_fn(subject, modality):
+        return TaskResult(metrics={"accuracy": 0.5})
+
+    class W:
+        def __init__(self, name, setup=None):
+            self.name = name
+            self.prefetch_fn = None
+            self.task_fn = task_fn
+            self.setup_fn = setup
+
+    def bad_setup():
+        raise RuntimeError("stacked pass exploded")
+
+    cfg = _cfg(tmp_path, subjects=(1, 2), modalities=("eeg", "audio"))
+    runner = SweepRunner(cfg, task_fn)
+    state = runner.run_farmed(
+        [W("dev0", bad_setup), W("dev1")], verbose=False,
+        exclude_modalities=("eeg",),
+    )
+    # the farmed family completed despite the setup crash
+    assert {t for t, r in state.items() if r["status"] == "done"} == {
+        "subject01_audio", "subject02_audio"
+    }
+    # eeg recoverable via the serial pass
+    state = runner.run(verbose=False)
+    assert state["subject01_eeg"]["status"] == "done"
+    assert runner.pending_tasks() == []
