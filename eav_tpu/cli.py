@@ -48,7 +48,7 @@ def cmd_run(args) -> int:
         presets = apply_overrides(presets, load_override_file(args.config))
     if args.set:
         presets = apply_overrides(presets, args.set)
-    if args.chip_parallel > 1 and args.data_parallel > 1:
+    if args.chip_parallel >= 1 and args.data_parallel > 1:
         raise SystemExit(
             "--chip-parallel and --data-parallel are mutually exclusive: the "
             "farm gives each fine-tune a whole chip; DP shards one fine-tune "
@@ -138,7 +138,7 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
                 prefetch_fn=pipelines.prefetch,
             )
 
-    if getattr(args, "chip_parallel", 1) > 1:
+    if getattr(args, "chip_parallel", 0) >= 1:
         # cross-chip task farm: the serial-policy tasks (audio AST, vision
         # ViT — one fine-tune saturates a chip, cli _STACK_CAPS) spread ONE
         # PER CHIP and run concurrently. Per-worker ModalityPipelines keep
@@ -281,11 +281,13 @@ def main(argv=None) -> int:
         "the reference's nn.DataParallel equivalent)",
     )
     run.add_argument(
-        "--chip-parallel", type=int, default=1,
+        "--chip-parallel", type=int, default=0,
         help="cross-chip task farm: N device-bound workers run serial-policy "
         "fine-tunes concurrently, one whole chip per task (the v5e-8 sweep "
         "scale-out for audio/vision; combine with --subject-parallel for the "
-        "stackable EEG families)",
+        "stackable EEG families). N=1 runs the farm machinery with a single "
+        "worker (device-bound thread + prefetch-ahead claiming) — the "
+        "single-chip smoke of the multi-chip path; default 0 = plain serial",
     )
     run.add_argument(
         "--epochs-per-call", type=int, default=None,

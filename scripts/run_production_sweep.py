@@ -78,6 +78,11 @@ def main():
     ap.add_argument("--subjects", default="1-42")
     ap.add_argument("--out", default="/tmp/sweep_prod")
     ap.add_argument("--subject-parallel", type=int, default=8)
+    ap.add_argument("--chip-parallel", type=int, default=0,
+                    help="farm the serial-policy tasks over N device-bound "
+                    "workers (cli --chip-parallel); 0 = serial. On the "
+                    "1-chip dev tunnel only N=1 (farm-of-one smoke) runs; "
+                    "on a real v5e-8 use 8.")
     ap.add_argument("--skip-fusion", action="store_true")
     ap.add_argument("--full", action="store_true",
                     help="run the FULL published protocols (no epoch shrink) "
@@ -153,9 +158,12 @@ def main():
                 return rc
 
     t0 = time.perf_counter()
+    farm = (["--chip-parallel", str(args.chip_parallel)]
+            if args.chip_parallel else [])
     rc = call_watched(
         common + ["--modalities", "eeg,audio,vision",
-                  "--subject-parallel", str(args.subject_parallel)] + shrink,
+                  "--subject-parallel", str(args.subject_parallel)]
+        + farm + shrink,
     )
     main_wall = time.perf_counter() - t0
     print(json.dumps({"sweep_main_rc": rc, "wall_minutes": round(main_wall / 60, 1)}),

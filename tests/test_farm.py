@@ -123,6 +123,13 @@ def test_cli_chip_parallel_e2e(tmp_path):
     for s in (1, 2, 3):
         assert farmed[s]["accuracy"] == pytest.approx(serial[s]["accuracy"], abs=1e-6)
         assert "device" in farmed[s]
+    # --chip-parallel 1: the farm machinery with a single device-bound
+    # worker (the single-chip smoke of the multi-chip path — the only farm
+    # configuration the 1-chip dev tunnel can exercise on real hardware)
+    farm1 = run(tmp_path / "farm1", ["--chip-parallel", "1"])
+    for s in (1, 2, 3):
+        assert farm1[s]["accuracy"] == pytest.approx(serial[s]["accuracy"], abs=1e-6)
+        assert "device" in farm1[s]
     journal = [json.loads(l) for l in open(tmp_path / "farm" / "journal.jsonl")]
     assert all(r["status"] == "done" for r in journal if "task" in r)
 
