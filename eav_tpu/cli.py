@@ -170,6 +170,8 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
         runner.run_farmed(
             workers, verbose=True,
             exclude_modalities=[m for m, _ in stacked],
+            task_timeout_s=(args.farm_timeout_minutes * 60.0
+                            if args.farm_timeout_minutes else None),
         )
     elif stacked:
         stacked_pass()
@@ -288,6 +290,15 @@ def main(argv=None) -> int:
         "stackable EEG families). N=1 runs the farm machinery with a single "
         "worker (device-bound thread + prefetch-ahead claiming) — the "
         "single-chip smoke of the multi-chip path; default 0 = plain serial",
+    )
+    run.add_argument(
+        "--farm-timeout-minutes", type=float, default=0.0,
+        help="with --chip-parallel: per-task soft deadline — a fine-tune "
+        "exceeding it is journaled failed (note: timeout) and its worker "
+        "retires while the other chips drain the pool (a wedged device call "
+        "otherwise hangs the farm until the cross-process watchdog kills "
+        "ALL workers; see docs/RUNBOOK.md). 0 = off (the default; leave off "
+        "on CPU test meshes where timing is noisy)",
     )
     run.add_argument(
         "--epochs-per-call", type=int, default=None,

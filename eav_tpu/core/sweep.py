@@ -206,6 +206,7 @@ class SweepRunner:
         workers: Sequence,
         verbose: bool = True,
         exclude_modalities: Sequence[str] = (),
+        task_timeout_s: Optional[float] = None,
     ) -> Dict[str, dict]:
         """Cross-chip task farm: ``len(workers)`` device-bound workers
         concurrently pull pending (subject, modality) tasks — ONE serial
@@ -244,7 +245,23 @@ class SweepRunner:
         on the worker's thread BEFORE its first claim; its wall time counts
         toward that worker's busy seconds in the farm summary. A setup
         failure is logged and the worker proceeds to the claim loop — the
-        setup's own tasks stay pending for the serial catch-all."""
+        setup's own tasks stay pending for the serial catch-all.
+
+        ``task_timeout_s``: per-task soft deadline (None = off, the default).
+        A device call can wedge forever (observed twice on hardware
+        2026-08-18: the axon worker hangs mid-subject, docs/ROUND3.md);
+        without a deadline one wedged fit hangs the farm's ``join()`` until
+        the cross-process watchdog (scripts/run_production_sweep.py
+        ``--watchdog-minutes``) kills the WHOLE CLI, losing every worker's
+        in-flight task to recover one. With a deadline the farm degrades
+        per-chip instead: the task runs on a helper thread; if it exceeds
+        the deadline it is journaled ``failed`` with a ``timeout`` note, the
+        worker's ahead-claimed task is returned to the pool, and the worker
+        RETIRES (its device is presumed wedged — a thread cannot be killed,
+        so the zombie helper is abandoned as a daemon) while the remaining
+        workers drain the pool. If the zombie later completes after all, it
+        journals ``done``, which supersedes the timeout row on resume
+        (latest record per task wins)."""
         import threading
 
         state = self.journal_state()
@@ -253,21 +270,35 @@ class SweepRunner:
         # longest-expected-first across families; stable, so subject order
         # within a family is preserved (see _FARM_DURATION_RANK)
         tasks.sort(key=lambda t: _FARM_DURATION_RANK.get(t[1], 50))
-        claim_lock = threading.Lock()
+        claim_cv = threading.Condition()
         pos = [0]
+        inflight = [0]  # tasks currently executing under a worker
 
         def claim(ahead: bool = False):
-            with claim_lock:
-                # ahead-claims (a worker reserving its NEXT task to prefetch
-                # it during the current fit) are refused once the unclaimed
-                # tail is no deeper than the worker count: claiming there
-                # pins tail tasks to busy workers while idle workers starve
-                # (observed: 2 tasks / 2 workers -> both on worker 0,
-                # speedup x1.0). Tail tasks are claimed only by free workers.
-                if ahead and len(tasks) - pos[0] <= len(workers):
-                    return None
-                if pos[0] >= len(tasks):
-                    return None
+            with claim_cv:
+                if ahead:
+                    # ahead-claims (a worker reserving its NEXT task to
+                    # prefetch it during the current fit) are refused once
+                    # the unclaimed tail is no deeper than the worker count:
+                    # claiming there pins tail tasks to busy workers while
+                    # idle workers starve (observed: 2 tasks / 2 workers ->
+                    # both on worker 0, speedup x1.0). Tail tasks are claimed
+                    # only by free workers. A single-worker farm skips the
+                    # guard — no other worker can starve, and refusing would
+                    # just drop the last task's prefetch overlap (ADVICE r4).
+                    if len(workers) > 1 and len(tasks) - pos[0] <= len(workers):
+                        return None
+                    if pos[0] >= len(tasks):
+                        return None
+                else:
+                    # a free worker does NOT exit on an empty pool while any
+                    # task is still in flight: a worker timing out returns
+                    # its ahead-claimed task to the pool (below), and the
+                    # survivors must be around to drain it
+                    while pos[0] >= len(tasks):
+                        if inflight[0] == 0:
+                            return None
+                        claim_cv.wait(timeout=1.0)
                 t = tasks[pos[0]]
                 pos[0] += 1
                 return t
@@ -282,6 +313,43 @@ class SweepRunner:
                 fn(subject, modality)
             except Exception as e:  # noqa: BLE001 — prefetch is best-effort
                 print(f"[farm] prefetch subject{subject:02d} {modality} failed ({e})")
+
+        def run_deadlined(widx, w, cur) -> bool:
+            """Run ``cur`` on worker ``w``, honoring ``task_timeout_s``.
+            Returns False when the task blew the deadline (worker retires)."""
+            extra = {"device": getattr(w, "name", str(widx)), "worker": widx}
+            if task_timeout_s is None:
+                self._run_one(cur[0], cur[1], w.task_fn, state, verbose, extra=extra)
+                return True
+            helper = threading.Thread(
+                target=self._run_one,
+                args=(cur[0], cur[1], w.task_fn, state, verbose),
+                kwargs={"extra": extra},
+                daemon=True,
+                name=f"farm-{widx}-task",
+            )
+            helper.start()
+            helper.join(task_timeout_s)
+            if not helper.is_alive():
+                return True
+            tid = self._task_id(*cur)
+            rec = {
+                "task": tid,
+                "status": "failed",
+                "attempts": state.get(tid, {}).get("attempts", 0) + 1,
+                "error": f"TimeoutError: task exceeded farm deadline "
+                         f"({task_timeout_s}s); worker {widx} retired",
+                "note": "timeout",
+                "ts": time.time(),
+                **extra,
+            }
+            with self._log_lock:
+                _append_jsonl(self.cfg.journal_path, rec)
+                state[tid] = rec
+            if verbose:
+                print(f"[farm] {tid} TIMED OUT after {task_timeout_s}s on "
+                      f"worker {widx}; retiring the worker, others drain on")
+            return False
 
         def worker_loop(widx, w):
             setup = getattr(w, "setup_fn", None)
@@ -303,11 +371,21 @@ class SweepRunner:
                     )
                     pf.start()
                 t0 = time.perf_counter()
-                self._run_one(
-                    cur[0], cur[1], w.task_fn, state, verbose,
-                    extra={"device": getattr(w, "name", str(widx)), "worker": widx},
-                )
+                with claim_cv:
+                    inflight[0] += 1
+                ok = run_deadlined(widx, w, cur)
+                with claim_cv:
+                    if not ok and nxt is not None:
+                        # return the ahead-claim to the head of the pool so
+                        # a surviving worker (possibly waiting in claim())
+                        # picks it up; same lock as the inflight decrement so
+                        # no waiter can exit between the two
+                        tasks.insert(pos[0], nxt)
+                    inflight[0] -= 1
+                    claim_cv.notify_all()
                 per_worker[widx]["busy_s"] += time.perf_counter() - t0
+                if not ok:
+                    return  # device presumed wedged; abandon the daemon helper
                 per_worker[widx]["tasks"] += 1
                 if pf is not None:
                     pf.join()

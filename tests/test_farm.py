@@ -77,6 +77,80 @@ def test_farm_real_pipelines_matches_serial(tmp_path):
     assert len(devices) >= 2, devices
 
 
+def test_farm_task_timeout_retires_worker_and_drains(tmp_path):
+    """VERDICT r4 next #4: a wedged task must not hang the whole farm. The
+    bad worker's task blows the soft deadline -> journaled failed with a
+    ``timeout`` note, the worker retires (returning its ahead-claim to the
+    pool), and the good worker drains every remaining task."""
+    import threading
+
+    from eav_tpu.core.sweep import TaskResult
+    from eav_tpu.parallel.farm import DeviceWorker
+
+    release = threading.Event()
+
+    def good_fn(subject, modality):
+        return TaskResult(metrics={"accuracy": 1.0})
+
+    def hang_fn(subject, modality):
+        release.wait(timeout=60.0)  # wedged far beyond the deadline
+        return TaskResult(metrics={"accuracy": 0.0})
+
+    cfg = SweepConfig(
+        subjects=(1, 2, 3, 4, 5, 6), modalities=("eeg",),
+        journal_path=str(tmp_path / "journal.jsonl"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+        max_retries=0,
+    )
+    runner = SweepRunner(cfg, good_fn)
+    workers = [DeviceWorker("bad", hang_fn), DeviceWorker("good", good_fn)]
+    try:
+        state = runner.run_farmed(workers, verbose=False, task_timeout_s=0.5)
+    finally:
+        release.set()  # free the zombie helper so pytest exits promptly
+    statuses = {tid: r["status"] for tid, r in state.items()}
+    assert sorted(statuses.values()).count("failed") == 1, statuses
+    assert sorted(statuses.values()).count("done") == 5, statuses
+    failed = [r for r in state.values() if r["status"] == "failed"]
+    assert failed[0].get("note") == "timeout"
+    assert "deadline" in failed[0]["error"]
+    # the survivor drained everything else; the farm summary counts only
+    # completed tasks
+    rows = [json.loads(l) for l in open(cfg.metrics_path)]
+    summary = [r for r in rows if r.get("event") == "farm_summary"][-1]
+    assert summary["n_tasks"] == 5
+    done_devices = {r["device"] for r in state.values() if r["status"] == "done"}
+    assert done_devices == {"good"}
+
+
+def test_farm_of_one_ahead_claims_last_task():
+    """ADVICE r4: a single-worker farm skips the starvation guard — the last
+    task IS ahead-claimed, so its prefetch overlaps the current fit."""
+    from eav_tpu.core.sweep import TaskResult
+    from eav_tpu.parallel.farm import DeviceWorker
+
+    prefetched = []
+
+    def task_fn(subject, modality):
+        return TaskResult(metrics={"accuracy": 1.0})
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = SweepConfig(
+            subjects=(1, 2), modalities=("eeg",),
+            journal_path=f"{td}/journal.jsonl", metrics_path=f"{td}/metrics.jsonl",
+        )
+        runner = SweepRunner(cfg, task_fn)
+        worker = DeviceWorker(
+            "w0", task_fn, prefetch_fn=lambda s, m: prefetched.append((s, m))
+        )
+        state = runner.run_farmed([worker], verbose=False)
+    assert all(r["status"] == "done" for r in state.values())
+    # task 2 was ahead-claimed while task 1 ran -> its prefetch fired
+    assert prefetched == [(2, "eeg")]
+
+
 @pytest.mark.slow
 def test_cli_chip_parallel_e2e(tmp_path):
     """`run --chip-parallel 2` end-to-end from synthetic .mat files: the
@@ -130,6 +204,13 @@ def test_cli_chip_parallel_e2e(tmp_path):
     for s in (1, 2, 3):
         assert farm1[s]["accuracy"] == pytest.approx(serial[s]["accuracy"], abs=1e-6)
         assert "device" in farm1[s]
+    # single-worker accounting (ADVICE r4): the farm summary and journal of
+    # the farm-of-one run, not just metrics equality
+    rows1 = [json.loads(l) for l in open(tmp_path / "farm1" / "metrics.jsonl")]
+    summary1 = [r for r in rows1 if r.get("event") == "farm_summary"][-1]
+    assert summary1["n_workers"] == 1 and summary1["n_tasks"] == 3, summary1
+    journal1 = [json.loads(l) for l in open(tmp_path / "farm1" / "journal.jsonl")]
+    assert all(r["status"] == "done" for r in journal1 if "task" in r)
     journal = [json.loads(l) for l in open(tmp_path / "farm" / "journal.jsonl")]
     assert all(r["status"] == "done" for r in journal if "task" in r)
 
