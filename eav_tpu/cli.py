@@ -234,6 +234,7 @@ def cmd_verify_data(args) -> int:
         eeg_channels=eeg_cfg.channels,
         trial_seconds=eeg_cfg.trial_seconds,
         probe_video=not args.no_probe,
+        deep=args.deep,
         verbose=True,
     )
     n_err = sum(len(r.errors) for r in reports)
@@ -258,7 +259,11 @@ def main(argv=None) -> int:
     vd.add_argument("--subjects", default="1-42")
     vd.add_argument("--modalities", default="eeg,audio,vision")
     vd.add_argument("--no-probe", action="store_true",
-                    help="skip the one-frame video probe decode per subject")
+                    help="skip the first/middle/last video probe decodes per subject")
+    vd.add_argument("--deep", action="store_true",
+                    help="additionally walk EVERY Speaking clip's mp4 "
+                    "container header (no decode; catches corruption "
+                    "anywhere in the archive, ~ms per clip)")
     vd.add_argument("--set", action="append", default=[], metavar="PATH=VALUE")
     vd.add_argument("--config", default=None)
     vd.set_defaults(fn=cmd_verify_data)

@@ -118,6 +118,46 @@ def peek_mat_vars(path: str) -> Dict[str, Tuple[int, ...]]:
     return out
 
 
+def peek_mp4_boxes(path: str) -> List[str]:
+    """Top-level ISO-BMFF box walk: size/type headers only, payloads seeked
+    over — validating a 100-clip archive costs milliseconds, no decode.
+    Returns the top-level box-type list; raises ValueError on a malformed
+    container (truncated tree, box overrunning the file, garbage type)."""
+    boxes: List[str] = []
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        off = 0
+        while off < fsize:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"truncated box header at offset {off}")
+            size, btype = struct.unpack(">I4s", hdr)
+            hlen = 8
+            if size == 1:  # 64-bit largesize
+                big = f.read(8)
+                if len(big) < 8:
+                    raise ValueError(f"truncated largesize at offset {off}")
+                size = struct.unpack(">Q", big)[0]
+                hlen = 16
+            elif size == 0:  # box extends to EOF
+                size = fsize - off
+            if size < hlen or off + size > fsize:
+                raise ValueError(
+                    f"box {btype!r} at offset {off} has size {size}, "
+                    f"overrunning the {fsize}-byte file"
+                )
+            if not all(0x20 <= b < 0x7F for b in btype):
+                raise ValueError(f"non-printable box type {btype!r} at offset {off}")
+            boxes.append(btype.decode("ascii"))
+            off += size
+            f.seek(off)
+    if "moov" not in boxes:
+        raise ValueError(f"no moov box (unfinalized or corrupt container): {boxes}")
+    if not {"mdat", "moof"} & set(boxes):
+        raise ValueError(f"no media-data box (mdat/moof): {boxes}")
+    return boxes
+
+
 def peek_wav(path: str) -> Tuple[int, int, int]:
     """(channels, sample_rate, n_frames) from the RIFF header only (the data
     chunk is seek-skipped, never read)."""
@@ -180,6 +220,7 @@ def verify_subject(
     trial_seconds: float = 20.0,
     raw_sr: int = 500,
     probe_video: bool = True,
+    deep: bool = False,
 ) -> SubjectReport:
     rep = SubjectReport(subject)
     s = f"subject{subject:02d}"
@@ -193,7 +234,17 @@ def verify_subject(
     if any(m.startswith("audio") for m in modalities):
         _verify_audio(rep, sdir, trial_seconds)
     if any(m.startswith("vision") for m in modalities):
-        _verify_video(rep, sdir, probe_video)
+        _verify_video(rep, sdir, probe_video, deep=deep)
+    # cross-modality count check against the 200-interaction contract
+    # (`README.md:18-27`: 200 clips = 100 Listening + 100 Speaking, and one
+    # Speaking wav per Speaking clip)
+    n_wav, n_speaking = rep.info.get("n_wav"), rep.info.get("n_speaking")
+    if n_wav is not None and n_speaking is not None and n_wav != n_speaking:
+        rep.warnings.append(
+            f"{sdir}: {n_wav} wavs vs {n_speaking} Speaking clips — the "
+            f"200-interaction contract pairs one Speaking wav per Speaking "
+            f"clip; the fusion alignment assumption may not hold"
+        )
     return rep
 
 
@@ -300,7 +351,7 @@ def _verify_audio(rep, sdir, trial_seconds):
         rep.info["audio_mixed_rates"] = True  # legal; loader resamples per group
 
 
-def _verify_video(rep, sdir, probe):
+def _verify_video(rep, sdir, probe, deep: bool = False):
     folder = os.path.join(sdir, "Video")
     if not os.path.isdir(folder):
         rep.errors.append(f"missing {folder}")
@@ -316,26 +367,43 @@ def _verify_video(rep, sdir, probe):
         rep.warnings.append(
             f"{folder}: {len(speaking)} Speaking clips (reference subjects have 100)"
         )
+    if len(mp4s) != 200:
+        rep.warnings.append(
+            f"{folder}: {len(mp4s)} clips total (the 200-interaction contract "
+            f"is 100 Listening + 100 Speaking, `README.md:18-19`)"
+        )
     bad = [f for f in speaking if _emotion_token(f) not in KNOWN_EMOTIONS]
     if bad:
         rep.errors.append(
             f"{folder}: {len(bad)} Speaking filenames without a parseable "
             f"emotion token (e.g. {bad[0]})"
         )
+    if deep:
+        # walk EVERY Speaking clip's container header (no decode): a corrupt
+        # clip anywhere in the archive surfaces in the gate, not hours into
+        # the sweep (VERDICT r4 weak #4 — clip 37 of 100 used to slip through)
+        for name in speaking:
+            path = os.path.join(folder, name)
+            try:
+                peek_mp4_boxes(path)
+            except Exception as e:  # noqa: BLE001 — report, don't crash the walk
+                rep.errors.append(f"{path}: container header walk failed ({e})")
     if probe:
-        # decode ONE frame of ONE clip: codec/container problems surface in
-        # the gate, not hours into the sweep
-        path = os.path.join(folder, speaking[0])
-        try:
-            from eav_tpu.ingest.video import decode_strided_frames
+        # probe-decode one frame of the FIRST, MIDDLE and LAST clips:
+        # codec/container problems at either end of the recording session
+        # (and mid-archive, with --deep covering the rest) surface here
+        from eav_tpu.ingest.video import decode_strided_frames
 
-            frames = decode_strided_frames(path, stride=1, max_frames=1)
-            if not len(frames):
-                rep.errors.append(f"{path}: decoded zero frames")
-            else:
-                rep.info["video_frame_shape"] = tuple(np.asarray(frames[0]).shape)
-        except Exception as e:  # noqa: BLE001
-            rep.errors.append(f"{path}: probe decode failed ({e})")
+        for i in sorted({0, len(speaking) // 2, len(speaking) - 1}):
+            path = os.path.join(folder, speaking[i])
+            try:
+                frames = decode_strided_frames(path, stride=1, max_frames=1)
+                if not len(frames):
+                    rep.errors.append(f"{path}: decoded zero frames")
+                else:
+                    rep.info["video_frame_shape"] = tuple(np.asarray(frames[0]).shape)
+            except Exception as e:  # noqa: BLE001
+                rep.errors.append(f"{path}: probe decode failed ({e})")
 
 
 def verify_data_root(
@@ -345,17 +413,19 @@ def verify_data_root(
     eeg_channels: int = 30,
     trial_seconds: float = 20.0,
     probe_video: bool = True,
+    deep: bool = False,
     verbose: bool = True,
 ) -> List[SubjectReport]:
     """Walk ``subjects`` under ``data_root`` and return per-subject reports
     (see module docstring). Zero errors across all reports == safe to launch
-    the sweep against this root."""
+    the sweep against this root. ``deep``: additionally walk every Speaking
+    clip's container header (peek_mp4_boxes; still no decode)."""
     reports = []
     for subject in subjects:
         rep = verify_subject(
             data_root, subject, modalities,
             eeg_channels=eeg_channels, trial_seconds=trial_seconds,
-            probe_video=probe_video,
+            probe_video=probe_video, deep=deep,
         )
         reports.append(rep)
         if verbose:
