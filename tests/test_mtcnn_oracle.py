@@ -20,6 +20,7 @@ Reference usage: `Dataload_vision.py:25-29,63-74` (facenet_pytorch MTCNN,
 image_size=56, thresholds/factor/min_face_size defaults).
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -452,3 +453,51 @@ def test_batched_cascade_chunked_matches_unchunked():
             np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-4)
             assert abs(gp - rp) < 1e-5
     np.testing.assert_array_equal(ref_crops, got_crops)
+
+
+def test_convert_cli_verify_mode(tmp_path):
+    """`convert_mtcnn.py --verify` (VERDICT r4 next #8): the one-command
+    readiness path runs end-to-end — convert .pt -> npz, load, batched
+    cascade over the synthetic-face fixture — and exits NONZERO on these
+    architecture-parity random weights (only genuine facenet weights can
+    earn exit 0), keeping the real-weights flag visibly un-earned."""
+    import subprocess
+    import sys
+
+    for name, mod in (("pnet", TorchPNet()), ("rnet", TorchRNet()),
+                      ("onet", TorchONet())):
+        mod.load_state_dict(_rand_state_dict(mod, hash(name) % 1000))
+        torch.save(mod.state_dict(), tmp_path / f"{name}.pt")
+    out = tmp_path / "npz"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "convert_mtcnn.py"),
+         "--src", str(tmp_path), "--out", str(out), "--verify"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    # conversion itself succeeded...
+    for name in ("pnet", "rnet", "onet"):
+        assert (out / f"{name}.npz").exists(), r.stdout + r.stderr
+    # ...but random weights cannot certify readiness
+    assert r.returncode == 1, (r.returncode, r.stdout, r.stderr)
+    assert '"mtcnn_verify": "FAILED"' in r.stdout, r.stdout
+    assert "not working facenet_pytorch weights" in r.stderr
+
+
+def test_synthetic_face_fixture_shape():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "convert_mtcnn", os.path.join(repo, "scripts", "convert_mtcnn.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    img = m.synthetic_face_image()
+    assert img.shape == (240, 320, 3) and img.dtype == np.uint8
+    # deterministic (no rng): two draws are identical
+    np.testing.assert_array_equal(img, m.synthetic_face_image())
+    # face pixels are brighter than the background
+    assert img[120, 160].mean() > img[5, 5].mean() + 50
