@@ -298,6 +298,101 @@ def ast_train_flops_per_sample(
     return 3.0 * (layers * per_layer + patch_conv)
 
 
+def ast_param_count(
+    t: int = 1214, hidden: int = 768, mlp: int = 3072, layers: int = 12,
+    patch: int = 16, num_labels: int = 5,
+) -> int:
+    """Exact parameter count of models/ast.AST at the bench shape."""
+    per_layer = (
+        hidden * 3 * hidden + 3 * hidden      # fused qkv
+        + hidden * hidden + hidden            # attn out
+        + hidden * mlp + mlp                  # fc1
+        + mlp * hidden + hidden               # fc2
+        + 4 * hidden                          # ln1 + ln2 (scale+bias)
+    )
+    embeds = (
+        patch * patch * hidden + hidden       # patch conv
+        + t * hidden                          # pos embed (1212 patches + 2 tokens)
+        + 2 * hidden                          # cls + dist tokens
+    )
+    head = 4 * hidden + hidden * num_labels + num_labels  # final_ln + cls_ln + dense
+    return layers * per_layer + embeds + head
+
+
+def ast_step_hbm_bytes(
+    batch: int = 8, t: int = 1214, hidden: int = 768, mlp: int = 3072,
+    layers: int = 12,
+) -> dict:
+    """Itemized HBM traffic of ONE unfrozen AdamW train step under the
+    production preset (bf16 activations/compute, f32 params + Adam moments,
+    flash attention so the T x T probability matrix is never materialized,
+    remat 'none'). Counts, per step (VERDICT r4 next #5):
+
+    - params (f32): read by fwd, read by bwd, read + written by AdamW;
+    - Adam moments (f32): mu and nu each read + written;
+    - grads (f32): written by bwd, read by AdamW;
+    - activation stash (bf16): tensors saved by the fwd for the bwd — per
+      layer the residual input, ln1 out, qkv, flash O + softmax stats, attn
+      proj out, ln2 in/out, fc1 out, gelu out (fwd writes them, bwd reads
+      them back).
+
+    This is a LOWER bound on real traffic (re-reads of the stash, optimizer
+    temp buffers and imperfect fusion add more), which makes the derived
+    HBM roofline an UPPER bound — conservative in the right direction."""
+    p = ast_param_count(t, hidden, mlp, layers)
+    param_traffic = 4 * p * (2 + 2)          # fwd+bwd reads, opt read+write
+    moment_traffic = 4 * p * 4               # mu, nu each read + write
+    grad_traffic = 4 * p * 2                 # bwd write, opt read
+    bt = batch * t
+    stash_per_layer = (
+        3 * bt * hidden                      # residual in, ln1 out, proj out
+        + 3 * bt * hidden                    # q, k, v
+        + bt * hidden + 4 * batch * 12 * t   # flash O + f32 row stats
+        + 2 * bt * hidden                    # ln2 in, ln2 out
+        + 2 * bt * mlp                       # fc1 out, gelu out
+    )
+    stash = 2 * (layers * stash_per_layer + 2 * bt * hidden)  # bf16 bytes
+    act_traffic = 2 * stash                  # fwd writes + bwd reads
+    total = param_traffic + moment_traffic + grad_traffic + act_traffic
+    return {
+        "params": param_traffic, "moments": moment_traffic,
+        "grads": grad_traffic, "activations": act_traffic, "total": total,
+    }
+
+
+def ast_roofline(samples_per_sec: float, batch: int = 8) -> dict:
+    """AST bs=8 step roofline on v5e (VERDICT r4 next #5): FLOPs/step over
+    MXU peak and bytes/step over HBM bandwidth give two per-step floors; the
+    ceiling is batch / max(floor). Two MXU variants are reported: 'mxu'
+    charges every counted FLOP at the full 197 TFLOP/s peak; 'mxu_eff'
+    charges the attention score/context gemms at HALF peak because their
+    contraction/output dim is d_head=64 — half the 128-lane MXU tile, so
+    those gemms cannot exceed ~50% utilization at this head size regardless
+    of software. The honest ceiling quotes both."""
+    flops = batch * ast_train_flops_per_sample()
+    hbm = ast_step_hbm_bytes(batch)
+    peak, bw = 197e12, 819e9  # v5e MXU bf16 peak, HBM bandwidth
+    t_mxu = flops / peak
+    # attention score+context share of per-layer FLOPs (d_head-64 gemms)
+    t, hidden, mlp = 1214, 768, 3072
+    attn_gemms = 12 * (2 * 2 * t * t * hidden) * 3.0 * batch
+    t_mxu_eff = (flops - attn_gemms) / peak + attn_gemms / (peak / 2)
+    t_hbm = hbm["total"] / bw
+    ceil = batch / max(t_mxu, t_hbm)
+    ceil_eff = batch / max(t_mxu_eff, t_hbm)
+    return {
+        "flops_per_step": flops,
+        "bytes_per_step": hbm["total"],
+        "t_mxu_ms": round(t_mxu * 1e3, 2),
+        "t_mxu_eff_ms": round(t_mxu_eff * 1e3, 2),
+        "t_hbm_ms": round(t_hbm * 1e3, 2),
+        "ceiling_sps": round(ceil, 1),
+        "ceiling_eff_sps": round(ceil_eff, 1),
+        "roofline_pct": round(100.0 * samples_per_sec / ceil, 1),
+        "roofline_eff_pct": round(100.0 * samples_per_sec / ceil_eff, 1),
+    }
+
+
 def tpu_peak_flops() -> float | None:
     """Peak bf16 FLOP/s of the attached chip (for MFU), by device kind."""
     import jax
@@ -353,7 +448,7 @@ def bench_ast_tpu(steps: int = 20, batch: int = 8, dtype: str = "bf16") -> float
     bstats = variables.get("batch_stats", {})
     opt = init_adam_state(params)
     mask = trainable_mask(params, freeze=False)  # unfrozen phase
-    train_step, _eval, _perm, (bs, _sf, _rem) = trainer._phase_pieces(
+    train_step, _eval, _perm, (bs, _sf, _rem), _accs = trainer._phase_pieces(
         mask, n_train, n_test
     )
     assert bs == batch, f"preset batch size {bs} != benched batch {batch}"
@@ -478,6 +573,13 @@ def main():
     }
     if peak:
         out["mfu_pct"] = round(100.0 * achieved / peak, 1)
+        # analytic step roofline (docs/ROUND5.md): % of the bs-8 ceiling set
+        # by max(MXU FLOP floor, HBM byte floor); _eff charges the d_head-64
+        # attention gemms at the 50% tile utilization they are capped at
+        rl = ast_roofline(ast_sps)
+        out["roofline_pct"] = rl["roofline_pct"]
+        out["roofline_eff_pct"] = rl["roofline_eff_pct"]
+        out["ceiling_sps"] = rl["ceiling_sps"]
     print(json.dumps(out))
 
 

@@ -184,6 +184,19 @@ class FinetuneConfig:
     # keep per-epoch test logits (the reference's ActivationSaver pattern,
     # `CNN_audio.py:48-72`, dumps val logits every epoch)
     keep_epoch_logits: bool = False
+    # Replicate the HF-trainer accuracy quirk: the reference's vision
+    # trainers average PER-BATCH accuracies over batches
+    # (`Transformer_Vision.py:106-124` ``total_accuracy / len(test_dataloader)``,
+    # `CNN_torch/CNN_Vision.py:128-157` same for train and test), so a
+    # partial final batch is over-weighted (5000 test frames at bs 128 leave
+    # an 8-frame batch counted like a 128-frame one). True = reproduce that
+    # batch-mean in the per-epoch history (train_acc and test_acc); False
+    # (default, and all presets) = unbiased sample mean. The published
+    # headline accuracies are unaffected either way — they come from the
+    # trial-vote over ``outputs_test`` (`Transformer_Vision.py:170-188`),
+    # not from this logged metric — so the presets keep the honest mean and
+    # only the trainer-trajectory parity tests enable the quirk.
+    compat_batch_mean_acc: bool = False
     # L1/L2 penalties on kernel params (the Keras SCNN's l1_l2 regularizers,
     # notebook C14 cell0:189-209)
     l1_reg: float = 0.0

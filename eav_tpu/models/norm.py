@@ -39,6 +39,11 @@ class TorchBatchNorm(nn.Module):
     use_running_average: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
+    # output compute dtype: normalization math always runs in f32 (stats and
+    # affine stay f32 — torch numerics), but a bf16-stream model (e.g.
+    # ResNetAttn compute_dtype=bfloat16) wants the output back in its stream
+    # dtype, matching what flax BN with dtype=bf16 hands downstream layers.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -71,4 +76,5 @@ class TorchBatchNorm(nn.Module):
                     + (1 - self.momentum) * var * bessel
                 )
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        y = y * scale + bias
+        return y.astype(self.dtype) if self.dtype is not None else y

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from eav_tpu.models.norm import TorchBatchNorm
+
 
 class Bottleneck(nn.Module):
     features: int
@@ -32,7 +34,12 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(
+        # TorchBatchNorm, not flax BN: torch updates running_var with the
+        # UNBIASED batch variance (models/norm.py) and the reference trains
+        # with BN in train mode even during the frozen phase
+        # (`CNN_Vision.py:128-133` model.train() regardless of requires_grad),
+        # so every per-epoch eval reads torch-rule running stats.
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
@@ -63,7 +70,7 @@ class ResNet50Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = nn.BatchNorm(
+        bn = TorchBatchNorm(  # torch-rule running stats, see Bottleneck
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
         )

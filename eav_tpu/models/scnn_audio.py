@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 class SCNNAudio(nn.Module):
     num_classes: int = 5
+    # (post-conv2, post-conv4) dropout rates, `CNN_audio.py:20,29`. (0, 0)
+    # makes training deterministic — the trainer-trajectory parity test
+    # zeroes both sides' dropout (cross-framework RNG streams can't match).
+    dropout_rates: tuple = (0.1, 0.5)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -22,10 +26,10 @@ class SCNNAudio(nn.Module):
             x = x[..., None]
         x = nn.relu(nn.Conv(256, (5,), padding="SAME", name="conv1")(x))
         x = nn.relu(nn.Conv(128, (5,), padding="SAME", name="conv2")(x))
-        x = nn.Dropout(0.1)(x, deterministic=not train)
+        x = nn.Dropout(self.dropout_rates[0])(x, deterministic=not train)
         x = nn.max_pool(x, (8,), strides=(8,))  # 180 -> 22 (torch floor mode)
         x = nn.relu(nn.Conv(128, (5,), padding="SAME", name="conv3")(x))
         x = nn.relu(nn.Conv(128, (5,), padding="SAME", name="conv4")(x))
-        x = nn.Dropout(0.5)(x, deterministic=not train)
+        x = nn.Dropout(self.dropout_rates[1])(x, deterministic=not train)
         x = x.reshape((x.shape[0], -1))  # 22 * 128 = 2816 (`CNN_audio.py:32`)
         return nn.Dense(self.num_classes, name="head")(x)

@@ -350,7 +350,40 @@ class JitTrainer:
                 return jnp.arange(n_train)  # shuffle=False); key unused
             return jax.random.permutation(rng_key, n_train)
 
-        return train_step, eval_logits, epoch_perm, (bs, steps_full, rem)
+        # epoch-metric helpers, shared by the fused scan program and the CPU
+        # python driver so both paths log identical history values. Under
+        # cfg.compat_batch_mean_acc they reproduce the reference vision
+        # trainers' per-BATCH accuracy mean (`Transformer_Vision.py:106-124`,
+        # `CNN_Vision.py:128-157` — a partial final batch is over-weighted);
+        # default is the unbiased per-sample mean.
+        train_sizes = [bs] * steps_full + ([rem] if rem else [])
+        eval_steps = -(-n_test // eval_bs)
+        eval_pad = eval_steps * eval_bs - n_test
+        eval_sizes = jnp.asarray(
+            [eval_bs] * (eval_steps - 1) + [n_test - (eval_steps - 1) * eval_bs],
+            jnp.float32,
+        )
+
+        def train_acc_fn(corrects):
+            """``corrects``: per-step correct counts, steps_full(+1) entries."""
+            if not cfg.compat_batch_mean_acc:
+                return corrects.sum() / n_train
+            return (corrects / jnp.asarray(train_sizes, jnp.float32)).mean()
+
+        def test_acc_fn(te_logits, te_y):
+            correct = (jnp.argmax(te_logits, -1) == te_y).astype(jnp.float32)
+            if not cfg.compat_batch_mean_acc:
+                return correct.mean()
+            if eval_pad:
+                correct = jnp.concatenate(
+                    [correct, jnp.zeros((eval_pad,), jnp.float32)]
+                )
+            return (correct.reshape(eval_steps, eval_bs).sum(1) / eval_sizes).mean()
+
+        return (
+            train_step, eval_logits, epoch_perm, (bs, steps_full, rem),
+            (train_acc_fn, test_acc_fn),
+        )
 
     def _build_phase(self, mask, epochs: int, n_train: int, n_test: int,
                      jit: bool = True, head: bool = False,
@@ -363,9 +396,10 @@ class JitTrainer:
         forwards; epochs 2+ run eval-mode forwards (``sticky_first`` says
         whether THIS program contains that first epoch — later chunks of a
         chunked phase pass False)."""
-        train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
+        train_step, eval_logits, epoch_perm, (bs, steps_full, rem), accs = (
             self._phase_pieces(mask, n_train, n_test, head=head)
         )
+        train_acc_fn, test_acc_fn = accs
         sticky = self.cfg.compat_sticky_eval
 
         def phase(params, bstats, opt_state, rng, tr_x, tr_y, te_x, te_y, lr):
@@ -389,9 +423,9 @@ class JitTrainer:
                         losses = jnp.concatenate([losses, loss_r[None]])
                         corrects = jnp.concatenate([corrects, corr_r[None]])
                     params, bstats, opt_state, rng = carry2
-                    train_acc = corrects.sum() / n_train
+                    train_acc = train_acc_fn(corrects)
                     te_logits = eval_logits(params, bstats, te_x)
-                    test_acc = (jnp.argmax(te_logits, -1) == te_y).mean()
+                    test_acc = test_acc_fn(te_logits, te_y)
                     ys = (losses.mean(), train_acc, test_acc)
                     if keep:
                         ys = ys + (te_logits,)
@@ -446,9 +480,10 @@ class JitTrainer:
         import functools
 
         n_train, n_test = int(tr_x.shape[0]), int(te_x.shape[0])
-        train_step, eval_logits, epoch_perm, (bs, steps_full, rem) = (
+        train_step, eval_logits, epoch_perm, (bs, steps_full, rem), accs = (
             self._phase_pieces(mask, n_train, n_test, head=head)
         )
+        train_acc_fn, test_acc_fn = accs
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         if self.cfg.compat_sticky_eval:
             step_jit_eval = jax.jit(
@@ -476,9 +511,9 @@ class JitTrainer:
                 corrects.append(c)
             params, bstats, opt_state, rng = carry
             loss_h.append(jnp.stack(losses).mean())
-            tr_h.append(jnp.stack(corrects).sum() / n_train)
+            tr_h.append(train_acc_fn(jnp.stack(corrects)))
             te_logits = eval_jit(params, bstats, te_x)
-            te_h.append((jnp.argmax(te_logits, -1) == te_y).mean())
+            te_h.append(test_acc_fn(te_logits, te_y))
             if keep:
                 el_h.append(te_logits)
         logits = eval_jit(params, bstats, te_x)

@@ -68,7 +68,7 @@ def bench_preset(preset_name: str, x: np.ndarray, y: np.ndarray,
     bstats = variables.get("batch_stats", {})
     opt = init_adam_state(params)
     mask = trainable_mask(params, freeze=False)
-    train_step, _eval, _perm, (bs, _sf, _rem) = trainer._phase_pieces(
+    train_step, _eval, _perm, (bs, _sf, _rem), _accs = trainer._phase_pieces(
         mask, n_train, n_train
     )
     step = jax.jit(

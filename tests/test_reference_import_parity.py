@@ -235,6 +235,7 @@ def _record_trainer(trainer, te_x_t, te_y_t):
     return train_losses, test_accs
 
 
+@pytest.mark.slow
 def test_trainer_uni_trajectory_matches_jittrainer():
     """`Trainer_uni` (`CNN_torch/EEGNet_tor.py:69-135`) == JitTrainer with
     compat_softmax + compat_sticky_eval + shuffle=False, same init weights:
@@ -335,6 +336,7 @@ def test_trainer_uni_trajectory_matches_jittrainer():
     np.testing.assert_allclose(ours_soft, ref_logits, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_traineruni_conformer_trajectory_matches_jittrainer(tmp_path, monkeypatch):
     """`TrainerUni` (`Transformer_torch/Transformer_EEG.py:151-219`) ==
     JitTrainer on the ShallowConvNet/conformer: per-epoch train loss +
