@@ -121,6 +121,35 @@ _STACK_CAPS = {"eeg": 8, "eeg_conformer": 8, "audio": 1, "audio_scnn": 8,
                "vision": 1, "vision_resnet": 1}
 
 
+def _partition_stacked_chunks(stacked, pending_by_mod, n_workers):
+    """Spread the stacked families' group-sized chunks round-robin over
+    workers: ``[{mod: (group_size, [subjects])}]``, one dict per setup
+    worker. Whole chunks move, in pending order, so each worker's
+    ``run_batched(only_subjects=...)`` regroups into exactly the chunks it
+    was assigned (at most one partial chunk exists and it stays last).
+
+    Spreading matters for the schedule: the full stacked EEG pass is ~19 min
+    of chip time on the 2026-08-20 journal — serialized onto ONE worker's
+    setup it becomes the farm's critical path (the serial-policy legs split
+    8 ways are ~18 min); split into its 6 groups across 6 workers it is
+    ~3-5 min per worker and disappears into the schedule."""
+    chunks = []
+    for mod, group in stacked:
+        pend = pending_by_mod.get(mod, [])
+        chunks += [
+            (mod, group, pend[i : i + group]) for i in range(0, len(pend), group)
+        ]
+    n_setup = min(n_workers, len(chunks))
+    assign = [dict() for _ in range(n_setup)]
+    for j, (mod, group, subs) in enumerate(chunks):
+        d = assign[j % n_setup]
+        if mod in d:
+            d[mod][1].extend(subs)
+        else:
+            d[mod] = (group, list(subs))
+    return assign
+
+
 def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
     # stacked subject-parallel families (group > 1 after capping)
     stacked = [
@@ -128,6 +157,13 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
         for mod, cap in _STACK_CAPS.items()
         if mod in cfg.modalities and min(args.subject_parallel, cap) > 1
     ] if args.subject_parallel > 1 else []
+
+    if "fusion" in cfg.modalities and hasattr(pipelines, "start_fusion_prewarm"):
+        # fusion's first fit is ~95% XLA compile (680 s of an 11.9 min leg on
+        # the 2026-08-20 journal) and runs strictly after its producer legs;
+        # prewarm the compile on a daemon thread so it overlaps the sweep
+        # (train/pipeline.warm_fusion; run_fusion joins the thread)
+        pipelines.start_fusion_prewarm()
 
     def stacked_pass():
         for mod, group in stacked:
@@ -156,17 +192,34 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
         devices = jax.devices()[:n]
         workers = device_workers(make_pipelines, devices=devices)
         if stacked:
-            # overlap: worker 0 drives the stacked families on its device
-            # as its farm setup, then joins the claim loop — every chip
-            # busy from t=0 instead of 7 idling through the stacked pass.
-            # (jax.default_device is thread-local; run_batched's prefetch
-            # daemon threads fall back to the process default device, which
-            # IS devices[0] — consistent either way.)
-            def stacked_setup(_d=devices[0]):
-                with jax.default_device(_d):
-                    stacked_pass()
+            # overlap AND spread: the stacked families' group-sized chunks
+            # are partitioned round-robin across the workers' setup_fns, so
+            # each chip runs a slice of the stacked pass concurrently with
+            # the others farming serial-policy tasks, then joins the claim
+            # loop. Each setup uses ITS worker's pipelines + device (trainer
+            # caches stay per-device); only_subjects keeps the journal
+            # slices disjoint. Worker prefetch_fns bind the device inside
+            # the call, so run_batched's prefetch daemons land on the right
+            # chip.
+            pending_by_mod = {}
+            for s, m in runner.pending_tasks():
+                pending_by_mod.setdefault(m, []).append(s)
+            assign = _partition_stacked_chunks(stacked, pending_by_mod, len(workers))
+            for widx, part in enumerate(assign):
+                w = workers[widx]
 
-            workers[0] = workers[0]._replace(setup_fn=stacked_setup)
+                def stacked_setup(_part=part, _w=w):
+                    with jax.default_device(_w.device):
+                        for mod, (group, subs) in _part.items():
+                            runner.run_batched(
+                                mod,
+                                lambda ss, m=mod, _p=_w.pipelines: _p.run_stacked(ss, m),
+                                group_size=group,
+                                prefetch_fn=_w.prefetch_fn,
+                                only_subjects=set(subs),
+                            )
+
+                workers[widx] = w._replace(setup_fn=stacked_setup)
         runner.run_farmed(
             workers, verbose=True,
             exclude_modalities=[m for m, _ in stacked],

@@ -423,7 +423,7 @@ class SweepRunner:
 
     def run_batched(
         self, modality: str, batch_fn, group_size: int = 8, verbose: bool = True,
-        prefetch_fn=None,
+        prefetch_fn=None, only_subjects=None,
     ) -> Dict[str, dict]:
         """Run pending subjects of one modality in groups through a batched
         task function (subjects -> {subject: TaskResult}) — used by the
@@ -440,11 +440,20 @@ class SweepRunner:
         independently, recursing until the offending subject(s) run alone —
         so one bad subject (or an OOM at the full stack size) costs only its
         own retry budget instead of poisoning every group member. The smaller
-        sub-stacks recompile, but only on the failure path."""
+        sub-stacks recompile, but only on the failure path.
+
+        ``only_subjects``: optional subject filter — cli._run_sweep spreads
+        the stacked pass across several farm workers by giving each a
+        disjoint chunk of the pending subjects (pending order is preserved,
+        so whole group-sized chunks regroup identically). Callers must pass
+        disjoint sets: the journal has no claim lock for batched groups."""
         import threading
 
         state = self.journal_state()
-        pending = [s for s, m in self.pending_tasks() if m == modality]
+        pending = [
+            s for s, m in self.pending_tasks()
+            if m == modality and (only_subjects is None or s in only_subjects)
+        ]
         groups = [pending[g : g + group_size]
                   for g in range(0, len(pending), group_size)]
 

@@ -38,15 +38,22 @@ class DeviceWorker(NamedTuple):
 
     ``setup_fn``: optional work this worker runs on its thread BEFORE
     joining the claim loop (sweep.SweepRunner.run_farmed). cli._run_sweep
-    uses it to drive the stacked subject-parallel pass on worker 0's device
-    concurrently with the other workers farming the serial-policy tasks —
-    so every chip is busy from t=0 and chip 0 joins the farm the moment the
-    stacked families finish."""
+    uses it to drive a slice of the stacked subject-parallel pass on the
+    worker's device concurrently with the other workers farming the
+    serial-policy tasks — so every chip is busy from t=0 and each setup
+    worker joins the farm the moment its stacked groups finish.
+
+    ``device``/``pipelines``: the underlying jax.Device and per-worker
+    task provider, exposed so callers composing setup work (cli's spread
+    stacked pass) can bind it to the same device and trainer caches the
+    worker's farmed tasks use."""
 
     name: str
     task_fn: Callable  # (subject, modality) -> TaskResult
     prefetch_fn: Optional[Callable] = None  # (subject, modality) -> None
     setup_fn: Optional[Callable] = None  # () -> None, pre-claim-loop work
+    device: Optional[object] = None  # the bound jax.Device
+    pipelines: Optional[object] = None  # the worker's own task provider
 
 
 def device_workers(
@@ -93,5 +100,8 @@ def device_workers(
 
         else:
             prefetch_fn = None
-        workers.append(DeviceWorker(str(dev), task_fn, prefetch_fn))
+        workers.append(
+            DeviceWorker(str(dev), task_fn, prefetch_fn,
+                         device=dev, pipelines=pipelines)
+        )
     return workers

@@ -241,6 +241,9 @@ class ModalityPipelines:
         import threading
 
         self._prefetch_lock = threading.Lock()
+        # fusion-prewarm daemon thread (start_fusion_prewarm); run_fusion
+        # joins it so the catch-all never duplicates the in-flight compile
+        self._fusion_warm_thread: Optional[threading.Thread] = None
 
     def _trainer(self, preset_key: str, preset) -> "JitTrainer":
         t = self._trainers.get(preset_key)
@@ -300,9 +303,13 @@ class ModalityPipelines:
         if self.logits_dir is None:
             return
         os.makedirs(self.logits_dir, exist_ok=True)
-        np.save(
-            os.path.join(self.logits_dir, f"s{subject:02d}_{modality}_{split}.npy"), logits
-        )
+        path = os.path.join(self.logits_dir, f"s{subject:02d}_{modality}_{split}.npy")
+        # atomic: concurrent readers (warm_fusion's poll, a farmed fusion
+        # consumer) must never see a half-written archive
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.save(f, logits)
+        os.replace(tmp, path)
 
     def _finish(self, subject, modality, preset, trainer, result, te_y, vote_group,
                 fit_seconds: Optional[float] = None, n_train: Optional[int] = None,
@@ -655,7 +662,6 @@ class ModalityPipelines:
         "audio_scnn", "vision_resnet")``)."""
         if self.logits_dir is None:
             raise ValueError("run_fusion requires logits_dir (archived per-trial logits)")
-        preset = self.presets["fusion"]
 
         def load(split):
             parts = [
@@ -672,16 +678,19 @@ class ModalityPipelines:
             n -= n % 5
             return np.stack([p[:n] for p in parts], axis=1).astype(np.float32)
 
+        t = self._fusion_warm_thread
+        if t is not None and t.is_alive():
+            # a prewarm compile is in flight (start_fusion_prewarm): wait for
+            # it rather than launching a duplicate compile of the same program
+            t.join(timeout=1800)
         tr = load("train")
         te = load("test")
         # labels follow eav_split's layout: per-class blocks in class order
         tr_y = np.repeat(np.arange(5), tr.shape[0] // 5)
         te_y = np.repeat(np.arange(5), te.shape[0] // 5)
-        model, kw = build_model(preset)
-        if getattr(model, "num_modalities", len(mods)) != len(mods):
-            model = model.clone(num_modalities=len(mods))
-        trainer = JitTrainer(model, preset.finetune, **kw)
-        result = trainer.fit((tr, tr_y, te, te_y), seed=self.seed + subject)
+        result = self._fusion_trainer(tr.shape[1]).fit(
+            (tr, tr_y, te, te_y), seed=self.seed + subject
+        )
         pred = np.argmax(result.outputs_test, axis=-1)
         summary = M.classification_summary(te_y, pred, 5)
         return TaskResult(
@@ -691,6 +700,104 @@ class ModalityPipelines:
             },
             artifacts={"params": result.params},
         )
+
+    def _fusion_trainer(self, n_mods: int) -> "JitTrainer":
+        """The fusion-head trainer, cached per modality count: every fusion
+        subject fits the same shapes, so one compiled phase program serves
+        the whole sweep (and the warm_fusion prewarm below)."""
+        key = f"fusion#{n_mods}"
+        t = self._trainers.get(key)
+        if t is None:
+            preset = self.presets["fusion"]
+            model, kw = build_model(preset)
+            if getattr(model, "num_modalities", n_mods) != n_mods:
+                model = model.clone(num_modalities=n_mods)
+            t = JitTrainer(model, preset.finetune, **kw)
+            self._trainers[key] = t
+        return t
+
+    def warm_fusion(
+        self,
+        n_mods: int = 3,
+        poll_s: float = 2.0,
+        timeout_s: Optional[float] = None,
+        stop=None,
+    ) -> bool:
+        """Compile the fusion phase program CONCURRENTLY with the sweep.
+
+        The fusion head itself fits in ~1 s, but its first fit pays the full
+        XLA compile — measured 680 s through the remote-compile tunnel on the
+        2026-08-20 production journal, i.e. 95% of the fusion leg's 11.9 min
+        wall was one compile, serialized AFTER all training because fusion
+        consumes the other modalities' archived logits. The compile itself
+        touches the device for ~no time, so it can hide entirely under the
+        hours of training that precede fusion: poll ``logits_dir`` until the
+        first archive lands (row counts fix the program's static shapes —
+        strict fusion demands equal rows across modalities, so any one
+        archive determines them), then run one throwaway fit on random
+        logits of those shapes through the SAME cached trainer the real
+        fusion tasks use. cli._run_sweep spawns this on a daemon thread via
+        ``start_fusion_prewarm`` whenever fusion is in the sweep.
+
+        Returns True when a warm fit ran.
+        """
+        import glob
+        import time as _time
+
+        if self.logits_dir is None:
+            return False
+        deadline = None if timeout_s is None else _time.monotonic() + timeout_s
+        shapes = None
+        while shapes is None:
+            if stop is not None and stop.is_set():
+                return False
+            if deadline is not None and _time.monotonic() > deadline:
+                return False
+            for tr_p in sorted(
+                glob.glob(os.path.join(self.logits_dir, "s*_train.npy"))
+            ):
+                te_p = tr_p[: -len("_train.npy")] + "_test.npy"
+                if not os.path.exists(te_p):
+                    continue
+                try:  # archives are written atomically (_save_logits), but
+                    # a stale/foreign file may still be unreadable
+                    shapes = (len(np.load(tr_p)), len(np.load(te_p)))
+                    break
+                except Exception:  # noqa: BLE001 — keep polling
+                    continue
+            if shapes is None:
+                _time.sleep(poll_s)
+        # mirror run_fusion's shape discipline exactly (same program)
+        n_tr, n_te = (n - n % 5 for n in shapes)
+        rng = np.random.default_rng(0)
+        tr = rng.normal(size=(n_tr, n_mods, 5)).astype(np.float32)
+        te = rng.normal(size=(n_te, n_mods, 5)).astype(np.float32)
+        tr_y = np.repeat(np.arange(5), n_tr // 5)
+        te_y = np.repeat(np.arange(5), n_te // 5)
+        t0 = _time.perf_counter()
+        self._fusion_trainer(n_mods).fit((tr, tr_y, te, te_y), seed=self.seed)
+        print(
+            f"[sweep] fusion prewarm done in {_time.perf_counter() - t0:.1f}s "
+            f"(train {n_tr} x {n_mods} mods; compile overlapped with the sweep)",
+            flush=True,
+        )
+        return True
+
+    def start_fusion_prewarm(self, **kw) -> "threading.Thread":
+        """Spawn ``warm_fusion`` on a daemon thread (idempotent).
+        ``run_fusion`` joins it, so the catch-all waits for — instead of
+        duplicating — an in-flight compile."""
+        import threading
+
+        t = self._fusion_warm_thread
+        if t is None:
+            t = threading.Thread(
+                target=self.warm_fusion, kwargs=kw, daemon=True,
+                name="fusion-prewarm",
+            )
+            self._fusion_warm_thread = t
+            t.start()
+        return t
 
     def task_fn(self, subject: int, modality: str) -> TaskResult:
         if modality == "eeg":

@@ -160,8 +160,18 @@ def main():
     t0 = time.perf_counter()
     farm = (["--chip-parallel", str(args.chip_parallel)]
             if args.chip_parallel else [])
+    # fusion runs IN THE SAME process as its producer legs (pending-task
+    # order puts it last; cli spawns the fusion-prewarm thread at sweep
+    # start) so its ~11-min XLA compile overlaps the hours of training
+    # instead of serializing after them — a separate fusion process pays
+    # the compile cold (680 s journaled 2026-08-20; even warm persistent
+    # cache replays cost 412 s through the remote-compile tunnel). The
+    # watchdog tolerates the fusion wait: a post-restart prewarm compile
+    # (~11.3 min, the only time metrics can stall on it) stays inside the
+    # 12-min default window.
+    mods = "eeg,audio,vision" if args.skip_fusion else "eeg,audio,vision,fusion"
     rc = call_watched(
-        common + ["--modalities", "eeg,audio,vision",
+        common + ["--modalities", mods,
                   "--subject-parallel", str(args.subject_parallel)]
         + farm + shrink,
     )
@@ -170,16 +180,6 @@ def main():
           flush=True)
     if rc != 0:
         sys.exit(rc)
-
-    if not args.skip_fusion:
-        t0 = time.perf_counter()
-        rc = subprocess.call(
-            common + ["--modalities", "fusion"], cwd=REPO, env=env
-        )
-        print(json.dumps({
-            "sweep_fusion_rc": rc,
-            "wall_minutes": round((time.perf_counter() - t0) / 60, 1),
-        }), flush=True)
 
     # per-modality wall-clock split + full-protocol extrapolation FROM THE
     # JOURNAL (fit_seconds per task; epochs scaled back to production counts)

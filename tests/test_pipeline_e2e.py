@@ -516,3 +516,55 @@ def test_fusion_beats_every_single_modality(tmp_path):
         acc = res.metrics["accuracy"]
         assert acc >= 0.8, (mode, acc, single_acc)
         assert acc > max(single_acc.values()) + 0.15, (mode, acc, single_acc)
+
+
+def test_fusion_prewarm_compiles_and_matches_cold(tmp_path, rng):
+    """The fusion compile prewarm (train/pipeline.warm_fusion): on the
+    2026-08-20 hardware journal, 680 s of the 715 s fusion leg was the ONE
+    XLA compile of the fusion phase program, serialized after all training
+    because fusion consumes archived logits. The prewarm polls the archive
+    dir on a daemon thread, reads the static shapes off the first archive,
+    and runs a throwaway fit through the SAME cached trainer
+    (_fusion_trainer) — so the catch-all's real fusion fits start warm.
+    Asserts: warm thread completes from archives, populates the trainer
+    cache, run_fusion joins it and produces metrics identical to a cold
+    pipelines instance; with no archives the poll times out False."""
+    from eav_tpu.train.pipeline import default_presets
+
+    ldir = tmp_path / "logits"
+    ldir.mkdir()
+    n_tr, n_te = 50, 25
+    for m in ("eeg", "audio", "vision"):
+        for split, n in (("train", n_tr), ("test", n_te)):
+            logits = rng.normal(size=(n, 5)).astype(np.float32)
+            np.save(ldir / f"s01_{m}_{split}.npy", logits)
+
+    def mk():
+        return ModalityPipelines(
+            data_root=str(tmp_path / "unused"), logits_dir=str(ldir),
+            presets=default_presets(),
+        )
+
+    cold = mk()
+    r_cold = cold.run_fusion(1, strict=True)
+
+    warm = mk()
+    t = warm.start_fusion_prewarm(poll_s=0.05, timeout_s=60)
+    assert warm.start_fusion_prewarm() is t  # idempotent
+    t.join(120)
+    assert not t.is_alive()
+    assert "fusion#3" in warm._trainers  # the prewarm populated the cache
+    r_warm = warm.run_fusion(1, strict=True)
+    assert r_warm.metrics["accuracy"] == pytest.approx(
+        r_cold.metrics["accuracy"], abs=1e-6
+    )
+
+    # no archives ever arrive -> the poll gives up quietly
+    empty = ModalityPipelines(
+        data_root=str(tmp_path / "unused"), logits_dir=str(tmp_path / "none"),
+        presets=default_presets(),
+    )
+    assert empty.warm_fusion(poll_s=0.02, timeout_s=0.2) is False
+    # no logits_dir at all -> immediate False
+    bare = ModalityPipelines(data_root=str(tmp_path / "unused"))
+    assert bare.warm_fusion(timeout_s=0.1) is False

@@ -98,6 +98,61 @@ def test_run_batched(tmp_path):
     assert agg["eeg"]["n_subjects"] == 5
 
 
+def test_run_batched_only_subjects(tmp_path):
+    """only_subjects restricts the batched pass to a disjoint slice — the
+    mechanism cli._run_sweep uses to spread the stacked pass's chunks
+    across farm workers. Unselected subjects stay pending; group chunking
+    applies within the slice."""
+    from eav_tpu.core.sweep import TaskResult as TR
+
+    calls = []
+
+    def batch_fn(subjects):
+        calls.append(tuple(subjects))
+        return {s: TR(metrics={"accuracy": 0.5}) for s in subjects}
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3, 4, 5), modalities=("eeg",))
+    runner = SweepRunner(cfg, lambda s, m: None)
+    runner.run_batched("eeg", batch_fn, group_size=2, verbose=False,
+                       only_subjects={1, 2, 5})
+    assert calls == [(1, 2), (5,)]
+    assert sorted(s for s, _ in runner.pending_tasks()) == [3, 4]
+    # the complementary slice completes the sweep
+    runner.run_batched("eeg", batch_fn, group_size=2, verbose=False,
+                       only_subjects={3, 4})
+    assert runner.pending_tasks() == []
+
+
+def test_partition_stacked_chunks():
+    """cli._partition_stacked_chunks spreads whole group-sized chunks
+    round-robin over workers, preserving pending order inside each worker's
+    slice so run_batched regroups into exactly the assigned chunks."""
+    from eav_tpu.cli import _partition_stacked_chunks
+
+    pend = {"eeg": list(range(1, 11))}
+    # 3 chunks over 8 workers -> 3 setup workers, one chunk each
+    assign = _partition_stacked_chunks([("eeg", 4)], pend, 8)
+    assert assign == [
+        {"eeg": (4, [1, 2, 3, 4])},
+        {"eeg": (4, [5, 6, 7, 8])},
+        {"eeg": (4, [9, 10])},
+    ]
+    # more chunks than workers wrap around; the partial chunk stays LAST in
+    # its worker's pending order (subjects 9, 10 follow 1-4 numerically)
+    assign = _partition_stacked_chunks([("eeg", 4)], pend, 2)
+    assert assign == [
+        {"eeg": (4, [1, 2, 3, 4, 9, 10])},
+        {"eeg": (4, [5, 6, 7, 8])},
+    ]
+    # two stacked families interleave across workers
+    assign = _partition_stacked_chunks(
+        [("eeg", 4), ("audio_scnn", 8)], {"eeg": [1, 2], "audio_scnn": [1, 2]}, 8
+    )
+    assert assign == [{"eeg": (4, [1, 2])}, {"audio_scnn": (8, [1, 2])}]
+    # no stacked families -> no setups
+    assert _partition_stacked_chunks([], {}, 8) == []
+
+
 def test_run_batched_failure_bisects_to_offender(tmp_path):
     """A failing group bisects until the bad subject runs alone: healthy
     group members complete and only the offender's retry budget burns
@@ -472,7 +527,14 @@ def test_farm_makespan_replay_efficiency():
     assert proj["n_workers"] == 8
     # at scale 0.001 each sleep is 20-350 ms; scheduling overhead is ~ms/task
     assert proj["schedule_efficiency"] > 0.85, proj
-    assert proj["projected_total_min"] < proj["single_chip_total_min"] / 4, proj
+    assert (proj["projected_total_min"]
+            < proj["journaled_single_chip_total_min"] / 4), proj
+    # the stacked pass must be SPREAD across setups (no single worker's
+    # ~19-min full stacked pass on the critical path) and the fusion
+    # compile prewarm must fit inside the farmed makespan
+    spread = [w for w in proj["stacked_spread_setup_min"] if w > 0]
+    assert len(spread) > 1 and max(spread) < 10.0, proj
+    assert proj["fusion_prewarm_overlapped"] is True, proj
 
 
 def test_run_farmed_setup_overlap_and_exclusion(tmp_path):
