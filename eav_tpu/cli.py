@@ -223,8 +223,9 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
         runner.run_farmed(
             workers, verbose=True,
             exclude_modalities=[m for m, _ in stacked],
-            task_timeout_s=(args.farm_timeout_minutes * 60.0
-                            if args.farm_timeout_minutes else None),
+            task_timeout_s=(getattr(args, "farm_timeout_minutes", None) * 60.0
+                            if getattr(args, "farm_timeout_minutes", None)
+                            else None),
         )
     elif stacked:
         stacked_pass()
