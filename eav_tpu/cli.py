@@ -158,11 +158,14 @@ def _run_sweep(args, cfg, runner, pipelines, make_pipelines=None) -> int:
         if mod in cfg.modalities and min(args.subject_parallel, cap) > 1
     ] if args.subject_parallel > 1 else []
 
-    if "fusion" in cfg.modalities and hasattr(pipelines, "start_fusion_prewarm"):
+    if (hasattr(pipelines, "start_fusion_prewarm")
+            and any(m == "fusion" for _, m in runner.pending_tasks())):
         # fusion's first fit is ~95% XLA compile (680 s of an 11.9 min leg on
         # the 2026-08-20 journal) and runs strictly after its producer legs;
         # prewarm the compile on a daemon thread so it overlaps the sweep
-        # (train/pipeline.warm_fusion; run_fusion joins the thread)
+        # (train/pipeline.warm_fusion; run_fusion joins the thread). Gated on
+        # PENDING fusion tasks: a resume with fusion already done must not
+        # spend minutes of remote-compile tunnel on a program nothing runs.
         pipelines.start_fusion_prewarm()
 
     def stacked_pass():

@@ -351,16 +351,54 @@ class SweepRunner:
                       f"worker {widx}; retiring the worker, others drain on")
             return False
 
-        def worker_loop(widx, w):
-            setup = getattr(w, "setup_fn", None)
-            if setup is not None:
-                t0 = time.perf_counter()
+        def run_setup_deadlined(widx, setup) -> bool:
+            """Run a worker's setup_fn, honoring the task deadline scaled by
+            4: a spread stacked-setup slice (cli._partition_stacked_chunks)
+            holds a few GROUP fits, each itself task-sized, so the per-task
+            deadline alone would false-positive. Setups run the same wedging
+            device calls as tasks (the observed axon hang), and a hung setup
+            with no deadline hangs the farm's join() forever — the exact
+            failure task_timeout_s exists to degrade. On timeout the worker
+            RETIRES (device presumed wedged); its stacked tasks are simply
+            never journaled and stay pending for the serial catch-all.
+            Returns False when the worker must retire."""
+            if task_timeout_s is None:
                 try:
                     setup()
                 except Exception as e:  # noqa: BLE001 — keep the worker alive
                     print(f"[farm] worker {widx} setup failed ({e}); "
                           "its tasks stay pending for the serial pass")
+                return True
+            done = threading.Event()
+
+            def target():
+                try:
+                    setup()
+                except Exception as e:  # noqa: BLE001 — keep the worker alive
+                    print(f"[farm] worker {widx} setup failed ({e}); "
+                          "its tasks stay pending for the serial pass")
+                finally:
+                    done.set()
+
+            helper = threading.Thread(
+                target=target, daemon=True, name=f"farm-{widx}-setup"
+            )
+            helper.start()
+            if done.wait(task_timeout_s * 4):
+                return True
+            print(f"[farm] worker {widx} setup exceeded "
+                  f"{task_timeout_s * 4:.0f}s; retiring the worker, its "
+                  "stacked tasks stay pending for the serial pass")
+            return False
+
+        def worker_loop(widx, w):
+            setup = getattr(w, "setup_fn", None)
+            if setup is not None:
+                t0 = time.perf_counter()
+                ok = run_setup_deadlined(widx, setup)
                 per_worker[widx]["busy_s"] += time.perf_counter() - t0
+                if not ok:
+                    return  # device presumed wedged; abandon the helper
             cur = claim()
             while cur is not None:
                 nxt = claim(ahead=True)

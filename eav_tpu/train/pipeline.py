@@ -242,8 +242,11 @@ class ModalityPipelines:
 
         self._prefetch_lock = threading.Lock()
         # fusion-prewarm daemon thread (start_fusion_prewarm); run_fusion
-        # joins it so the catch-all never duplicates the in-flight compile
+        # joins an in-flight compile (_fusion_warm_fitting set) or calls a
+        # still-polling warm off (_fusion_warm_stop)
         self._fusion_warm_thread: Optional[threading.Thread] = None
+        self._fusion_warm_fitting = threading.Event()
+        self._fusion_warm_stop = threading.Event()
 
     def _trainer(self, preset_key: str, preset) -> "JitTrainer":
         t = self._trainers.get(preset_key)
@@ -680,9 +683,16 @@ class ModalityPipelines:
 
         t = self._fusion_warm_thread
         if t is not None and t.is_alive():
-            # a prewarm compile is in flight (start_fusion_prewarm): wait for
-            # it rather than launching a duplicate compile of the same program
-            t.join(timeout=1800)
+            if self._fusion_warm_fitting.is_set():
+                # the prewarm COMPILE is in flight: wait for it rather than
+                # launching a duplicate compile of the same program
+                t.join(timeout=1800)
+            else:
+                # still polling for archives — this task is about to read
+                # them itself (or fail fast on their absence), so call the
+                # poll off instead of blocking behind it
+                self._fusion_warm_stop.set()
+                t.join(timeout=30)
         tr = load("train")
         te = load("test")
         # labels follow eav_split's layout: per-class blocks in class order
@@ -718,7 +728,7 @@ class ModalityPipelines:
 
     def warm_fusion(
         self,
-        n_mods: int = 3,
+        mods: Tuple[str, ...] = ("eeg", "audio", "vision"),
         poll_s: float = 2.0,
         timeout_s: Optional[float] = None,
         stop=None,
@@ -737,37 +747,50 @@ class ModalityPipelines:
         archive determines them), then run one throwaway fit on random
         logits of those shapes through the SAME cached trainer the real
         fusion tasks use. cli._run_sweep spawns this on a daemon thread via
-        ``start_fusion_prewarm`` whenever fusion is in the sweep.
+        ``start_fusion_prewarm`` when fusion tasks are pending.
 
-        Returns True when a warm fit ran.
+        ``mods``: the archive families fusion will load — the poll only
+        accepts THEIR files, so alternative-family archives sharing the
+        logits_dir (e.g. an eeg_conformer sweep) cannot feed the prewarm
+        wrong row counts and silently waste the compile.
+
+        ``stop``: optional threading.Event — checked each poll tick;
+        ``run_fusion`` sets the instance-level one to call off a poll it is
+        about to outrun. Returns True when a warm fit ran.
         """
         import glob
         import time as _time
 
         if self.logits_dir is None:
             return False
+        stops = [s for s in (stop, self._fusion_warm_stop) if s is not None]
         deadline = None if timeout_s is None else _time.monotonic() + timeout_s
         shapes = None
         while shapes is None:
-            if stop is not None and stop.is_set():
+            if any(s.is_set() for s in stops):
                 return False
             if deadline is not None and _time.monotonic() > deadline:
                 return False
-            for tr_p in sorted(
-                glob.glob(os.path.join(self.logits_dir, "s*_train.npy"))
-            ):
-                te_p = tr_p[: -len("_train.npy")] + "_test.npy"
-                if not os.path.exists(te_p):
-                    continue
-                try:  # archives are written atomically (_save_logits), but
-                    # a stale/foreign file may still be unreadable
-                    shapes = (len(np.load(tr_p)), len(np.load(te_p)))
+            for m in mods:
+                for tr_p in sorted(glob.glob(
+                    os.path.join(self.logits_dir, f"s*_{m}_train.npy")
+                )):
+                    te_p = tr_p[: -len("_train.npy")] + "_test.npy"
+                    if not os.path.exists(te_p):
+                        continue
+                    try:  # archives are written atomically (_save_logits),
+                        # but a stale/foreign file may still be unreadable
+                        shapes = (len(np.load(tr_p)), len(np.load(te_p)))
+                        break
+                    except Exception:  # noqa: BLE001 — keep polling
+                        continue
+                if shapes is not None:
                     break
-                except Exception:  # noqa: BLE001 — keep polling
-                    continue
             if shapes is None:
                 _time.sleep(poll_s)
+        self._fusion_warm_fitting.set()  # past polling: run_fusion now waits
         # mirror run_fusion's shape discipline exactly (same program)
+        n_mods = len(mods)
         n_tr, n_te = (n - n % 5 for n in shapes)
         rng = np.random.default_rng(0)
         tr = rng.normal(size=(n_tr, n_mods, 5)).astype(np.float32)

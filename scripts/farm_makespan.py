@@ -56,7 +56,7 @@ def load_walls(metrics_path):
     overlaps with the sweep.
     """
     serial = {}
-    stacked_groups = {}
+    stacked_rows = {}  # (modality, share, group_size) -> row count
     fusion_walls = []
     for line in open(metrics_path):
         r = json.loads(line)
@@ -66,11 +66,20 @@ def load_walls(metrics_path):
         if r["modality"] == "fusion":
             fusion_walls.append(r["wall_clock_s"])
         elif r.get("group_size"):
-            k = (r["modality"], r["wall_clock_s"])
-            stacked_groups[k] = stacked_groups.get(k, 0.0) + r["wall_clock_s"]
+            k = (r["modality"], r["wall_clock_s"], r["group_size"])
+            stacked_rows[k] = stacked_rows.get(k, 0) + 1
         else:
             serial[key] = r["wall_clock_s"]
-    return serial, list(stacked_groups.values()), fusion_walls
+    # reconstruct GROUP walls: each group of size g journals g rows with the
+    # identical share, so group wall = share * g and the number of groups
+    # behind a (mod, share, g) key is row_count / g — two groups whose walls
+    # coincide to the journal's 3-decimal rounding stay two groups instead
+    # of merging into one mega-wall
+    stacked_groups = []
+    for (mod, share, g), n_rows in stacked_rows.items():
+        for _ in range(max(1, round(n_rows / g))):
+            stacked_groups.append(share * g)
+    return serial, stacked_groups, fusion_walls
 
 
 def main():

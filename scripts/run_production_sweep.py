@@ -88,12 +88,17 @@ def main():
                     help="run the FULL published protocols (no epoch shrink) "
                     "— ~3.5 h single-chip with the round-3 frozen-feature "
                     "cache + device-resident splits")
-    ap.add_argument("--watchdog-minutes", type=float, default=12.0,
+    ap.add_argument("--watchdog-minutes", type=float, default=15.0,
                     help="restart the CLI subprocess (journal-resume) when "
                     "metrics.jsonl stops advancing for this long — the axon "
                     "worker stalls spontaneously on multi-hour runs "
                     "(observed twice 2026-08-18: a device call hangs forever "
-                    "mid-subject). 0 disables.")
+                    "mid-subject). 0 disables. Default 15: a restart landing "
+                    "when only fusion remains appends no metrics until the "
+                    "fusion prewarm compile finishes (~680 s cold, journaled "
+                    "2026-08-20), and a 12-min window left ~40 s for startup "
+                    "— a mid-compile kill would loop forever since nothing "
+                    "lands in the persistent cache.")
     args = ap.parse_args()
 
     out = args.out
@@ -168,7 +173,7 @@ def main():
     # cache replays cost 412 s through the remote-compile tunnel). The
     # watchdog tolerates the fusion wait: a post-restart prewarm compile
     # (~11.3 min, the only time metrics can stall on it) stays inside the
-    # 12-min default window.
+    # 15-min default window (see --watchdog-minutes).
     mods = "eeg,audio,vision" if args.skip_fusion else "eeg,audio,vision,fusion"
     rc = call_watched(
         common + ["--modalities", mods,

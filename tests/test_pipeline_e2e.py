@@ -568,3 +568,38 @@ def test_fusion_prewarm_compiles_and_matches_cold(tmp_path, rng):
     # no logits_dir at all -> immediate False
     bare = ModalityPipelines(data_root=str(tmp_path / "unused"))
     assert bare.warm_fusion(timeout_s=0.1) is False
+
+    # only foreign-family archives -> the mods-restricted poll ignores them
+    # (an alt-family sweep sharing the logits_dir must not feed the prewarm
+    # wrong static shapes; code-review r5)
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    for split in ("train", "test"):
+        np.save(alt / f"s01_eeg_conformer_{split}.npy",
+                rng.normal(size=(30, 5)).astype(np.float32))
+    altp = ModalityPipelines(
+        data_root=str(tmp_path / "unused"), logits_dir=str(alt),
+        presets=default_presets(),
+    )
+    assert altp.warm_fusion(poll_s=0.02, timeout_s=0.3) is False
+
+
+def test_run_fusion_calls_off_polling_prewarm(tmp_path):
+    """A prewarm still POLLING (no archives yet) must not block run_fusion
+    behind the 30-min compile join (code-review r5): run_fusion signals the
+    poll off and proceeds to its own fast failure on the missing archives."""
+    import time as _t
+
+    from eav_tpu.train.pipeline import default_presets
+
+    pipe = ModalityPipelines(
+        data_root=str(tmp_path / "unused"), logits_dir=str(tmp_path / "empty"),
+        presets=default_presets(),
+    )
+    t = pipe.start_fusion_prewarm(poll_s=0.05)  # no timeout: polls until told
+    t0 = _t.perf_counter()
+    with pytest.raises(FileNotFoundError):
+        pipe.run_fusion(1, strict=True)
+    assert _t.perf_counter() - t0 < 20
+    t.join(10)
+    assert not t.is_alive()

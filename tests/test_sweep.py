@@ -618,3 +618,47 @@ def test_run_farmed_setup_failure_leaves_tasks_pending(tmp_path):
     state = runner.run(verbose=False)
     assert state["subject01_eeg"]["status"] == "done"
     assert runner.pending_tasks() == []
+
+
+def test_run_farmed_setup_timeout_retires_worker(tmp_path):
+    """A HUNG setup_fn under task_timeout_s (code-review r5): setups run the
+    same wedging device calls as tasks (the spread stacked pass), so a
+    wedged setup must retire its worker — not hang the farm's join()
+    forever — while the surviving workers drain the pool and the setup's
+    own excluded tasks stay pending for the serial catch-all."""
+    import threading
+
+    release = threading.Event()
+
+    def hung_setup():
+        release.wait(30)
+
+    def task_fn(subject, modality):
+        return TaskResult(metrics={"accuracy": 0.5})
+
+    class W:
+        def __init__(self, name, setup=None):
+            self.name = name
+            self.prefetch_fn = None
+            self.task_fn = task_fn
+            self.setup_fn = setup
+
+    cfg = _cfg(tmp_path, subjects=(1, 2, 3), modalities=("eeg", "audio"),
+               max_retries=0)
+    runner = SweepRunner(cfg, task_fn)
+    t0 = time.perf_counter()
+    try:
+        state = runner.run_farmed(
+            [W("dev0", hung_setup), W("dev1")], verbose=False,
+            exclude_modalities=("eeg",), task_timeout_s=0.1,
+        )
+    finally:
+        release.set()  # free the zombie helper so pytest exits promptly
+    # the farm returned long before the 30 s hang
+    assert time.perf_counter() - t0 < 20
+    # worker 1 drained every farmed task alone; retired worker 0 ran none
+    done = {t: r for t, r in state.items() if r["status"] == "done"}
+    assert set(done) == {f"subject{s:02d}_audio" for s in (1, 2, 3)}
+    assert {r["device"] for r in done.values()} == {"dev1"}
+    # the stacked family is untouched and recoverable serially
+    assert sorted(s for s, m in runner.pending_tasks() if m == "eeg") == [1, 2, 3]
