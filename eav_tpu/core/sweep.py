@@ -412,6 +412,15 @@ class SweepRunner:
                 with claim_cv:
                     inflight[0] += 1
                 ok = run_deadlined(widx, w, cur)
+                # the prefetch issues the same wedgeable device calls as a
+                # fit (H2D of the next subject's split), so its join honors
+                # the task deadline too — an unbounded join would hang the
+                # worker (and the farm's join()) on a wedged prefetch even
+                # with task_timeout_s set. While that bounded join is
+                # pending the worker stays counted in-flight: once inflight
+                # hits 0 on an empty pool the survivors exit, and an
+                # ahead-claim returned after that would strand unrun.
+                hold = ok and pf is not None and task_timeout_s is not None
                 with claim_cv:
                     if not ok and nxt is not None:
                         # return the ahead-claim to the head of the pool so
@@ -419,14 +428,33 @@ class SweepRunner:
                         # picks it up; same lock as the inflight decrement so
                         # no waiter can exit between the two
                         tasks.insert(pos[0], nxt)
-                    inflight[0] -= 1
+                    if not hold:
+                        inflight[0] -= 1
                     claim_cv.notify_all()
                 per_worker[widx]["busy_s"] += time.perf_counter() - t0
                 if not ok:
                     return  # device presumed wedged; abandon the daemon helper
                 per_worker[widx]["tasks"] += 1
                 if pf is not None:
-                    pf.join()
+                    if hold:
+                        pf.join(task_timeout_s)
+                        stuck = pf.is_alive()
+                        with claim_cv:
+                            if stuck:
+                                # give the ahead-claimed task (whose
+                                # prefetch is wedged) back to the survivors
+                                tasks.insert(pos[0], nxt)
+                            inflight[0] -= 1
+                            claim_cv.notify_all()
+                        if stuck:
+                            if verbose:
+                                print(f"[farm] worker {widx} prefetch "
+                                      f"exceeded {task_timeout_s}s; retiring "
+                                      "the worker, its ahead-claim returns "
+                                      "to the pool")
+                            return  # device presumed wedged
+                    else:
+                        pf.join()
                 cur = nxt if nxt is not None else claim()
 
         t_start = time.perf_counter()

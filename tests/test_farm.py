@@ -106,6 +106,10 @@ def test_farm_task_timeout_retires_worker_and_drains(tmp_path):
     workers = [DeviceWorker("bad", hang_fn), DeviceWorker("good", good_fn)]
     try:
         state = runner.run_farmed(workers, verbose=False, task_timeout_s=0.5)
+        # snapshot BEFORE releasing the zombie: once released it completes
+        # hang_fn and journals ``done`` (the documented supersede-on-resume
+        # behavior), mutating this shared state dict under the assertions
+        state = {tid: dict(r) for tid, r in state.items()}
     finally:
         release.set()  # free the zombie helper so pytest exits promptly
     statuses = {tid: r["status"] for tid, r in state.items()}
@@ -121,6 +125,53 @@ def test_farm_task_timeout_retires_worker_and_drains(tmp_path):
     assert summary["n_tasks"] == 5
     done_devices = {r["device"] for r in state.values() if r["status"] == "done"}
     assert done_devices == {"good"}
+
+
+def test_farm_prefetch_timeout_retires_worker_and_drains(tmp_path):
+    """A wedged PREFETCH (it issues the same device H2D calls as a fit) must
+    not hang the farm either: the worker's post-fit ``pf.join`` honors the
+    task deadline, returns the ahead-claimed task to the pool, and retires
+    — the survivor drains everything, nothing is journaled failed."""
+    import threading
+
+    from eav_tpu.core.sweep import TaskResult
+    from eav_tpu.parallel.farm import DeviceWorker
+
+    release = threading.Event()
+
+    def task_fn(subject, modality):
+        return TaskResult(metrics={"accuracy": 1.0})
+
+    def hang_prefetch(subject, modality):
+        release.wait(timeout=60.0)  # wedged far beyond the deadline
+
+    cfg = SweepConfig(
+        subjects=(1, 2, 3, 4, 5, 6), modalities=("eeg",),
+        journal_path=str(tmp_path / "journal.jsonl"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+        max_retries=0,
+    )
+    runner = SweepRunner(cfg, task_fn)
+    workers = [
+        DeviceWorker("bad", task_fn, prefetch_fn=hang_prefetch),
+        DeviceWorker("good", task_fn),
+    ]
+    try:
+        state = runner.run_farmed(workers, verbose=False, task_timeout_s=0.5)
+    finally:
+        release.set()  # free the zombie prefetch so pytest exits promptly
+    # every task completes (the wedge was only in prefetch, and its
+    # ahead-claimed task went back to the pool for the survivor)
+    assert sorted(r["status"] for r in state.values()) == ["done"] * 6, state
+    rows = [json.loads(l) for l in open(cfg.metrics_path)]
+    summary = [r for r in rows if r.get("event") == "farm_summary"][-1]
+    assert summary["n_tasks"] == 6
+    # the bad worker retired after its first fit: it ran exactly one task,
+    # the survivor the rest
+    by_dev = {}
+    for r in state.values():
+        by_dev[r["device"]] = by_dev.get(r["device"], 0) + 1
+    assert by_dev["bad"] == 1 and by_dev["good"] == 5, by_dev
 
 
 def test_farm_of_one_ahead_claims_last_task():
